@@ -1,0 +1,148 @@
+"""Command-line interface mirroring the reference's subcommands
+(main.c:35-53): kmersort | index | classify | analysis.
+
+`index` accepts either the reference's 3-arg form
+(`index <kmer.srt> <ref.fa> <dir>`) or a 2-arg form (`index <ref.fa> <dir>`)
+since the builder extracts k-mers itself. `classify` supports the
+reference's options (cly_mt.c:470-498) plus `--engine {oracle,tpu}`.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def cmd_kmersort(argv):
+    ap = argparse.ArgumentParser(prog="desamba-tpu kmersort")
+    ap.add_argument("input", help="Jellyfish binary dump or FASTA file")
+    ap.add_argument("-k", type=int, default=31)
+    ap.add_argument("-o", default="kmer.srt")
+    a = ap.parse_args(argv)
+    import numpy as np
+
+    from .index.kmers import extract_kmers, read_jellyfish_dump, write_kmer_srt
+
+    with open(a.input, "rb") as f:
+        magic = f.read(8)
+    if magic == b"JFLISTDN":
+        km = np.unique(read_jellyfish_dump(a.input))
+    else:
+        km = extract_kmers(a.input, a.k)
+    write_kmer_srt(a.o, km)
+    print(f"kmer number:{km.size}", file=sys.stderr)
+
+
+def cmd_index(argv):
+    ap = argparse.ArgumentParser(prog="desamba-tpu index")
+    ap.add_argument("args", nargs="+", help="[kmer.srt] <ref.fa> <index_dir>")
+    ap.add_argument("--native", action="store_true",
+                    help="also write the native tensor format")
+    a = ap.parse_args(argv)
+    from .index.build import build_index
+    from .index.format_ref import save_ref_format
+
+    if len(a.args) == 3:
+        _, ref, out = a.args
+    elif len(a.args) == 2:
+        ref, out = a.args
+    else:
+        ap.error("expected [kmer.srt] <ref.fa> <index_dir>")
+    t0 = time.time()
+    idx = build_index(ref, progress=lambda s: print(f"[{s}]", file=sys.stderr))
+    save_ref_format(idx, out)
+    if a.native:
+        from .index.tensor_index import save_tensor_format
+
+        save_tensor_format(idx, out)
+    print(f"index built in {time.time()-t0:.1f}s: {idx.n_kmer} kmers, "
+          f"{idx.n_unitig} unitigs", file=sys.stderr)
+
+
+def cmd_classify(argv):
+    ap = argparse.ArgumentParser(prog="desamba-tpu classify")
+    ap.add_argument("index_dir")
+    ap.add_argument("reads", nargs="+")
+    ap.add_argument("-t", type=int, default=4, help="threads (ignored: batch engine)")
+    ap.add_argument("-l", type=int, default=170, help="min matching length")
+    ap.add_argument("-r", type=int, default=5, help="max secondary alignments")
+    ap.add_argument("-o", default=None, help="output file [stdout]")
+    ap.add_argument("-s", type=int, default=64, help="min score")
+    ap.add_argument("-f", default="SAM", choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
+    ap.add_argument("--engine", default="oracle", choices=["oracle", "tpu"])
+    a = ap.parse_args(argv)
+
+    from .io.fastx import read_fastx
+
+    out = open(a.o, "w") if a.o else sys.stdout
+    t0 = time.time()
+    total = 0
+    output_seq = a.f == "SAM_FULL"
+    if a.engine == "tpu":
+        from .engine.tpu_engine import TpuClassifier
+        from .index.format_ref import RefFormatIndex
+        from .oracle.classify import OracleIndex
+
+        idx = OracleIndex(RefFormatIndex(a.index_dir),
+                          filter_min_length=a.l, filter_min_score=a.s)
+        eng = TpuClassifier(idx)
+        for path in a.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            reads = [(r.name, r.seq, r.qual) for r in read_fastx(path)]
+            total += len(reads)
+            out.write(eng.classify_to_sam(reads, output_seq=output_seq,
+                                          max_sec_n=a.r))
+    else:
+        from .index.format_ref import RefFormatIndex
+        from .oracle.classify import OracleIndex
+        from .oracle.driver import OracleClassifier, format_sam
+
+        idx = OracleIndex(RefFormatIndex(a.index_dir),
+                          filter_min_length=a.l, filter_min_score=a.s)
+        cl = OracleClassifier(idx)
+        for path in a.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            for r in read_fastx(path):
+                total += 1
+                res = cl.classify_read(r.name, r.seq, r.qual)
+                out.write(format_sam(idx, res, output_seq, a.r))
+    secs = time.time() - t0
+    print(f"{total} sequences processed in {secs:.3f}s "
+          f"({total / 1.0e3 / (secs / 60):.1f} Kseq/m).", file=sys.stderr)
+    if a.o:
+        out.close()
+
+
+def cmd_analysis(argv):
+    if not argv:
+        print("analysis subcommands: ana_meta ana_meta_rst ana_tax "
+              "count_base fastq_to_fasta split_fastq reverse_read file_cmp",
+              file=sys.stderr)
+        return 1
+    sub, rest = argv[0], argv[1:]
+    from .analysis import cli_cmds
+
+    return cli_cmds.dispatch(sub, rest)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: desamba-tpu {kmersort|index|classify|analysis} ...",
+              file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "kmersort":
+        return cmd_kmersort(rest)
+    if cmd == "index":
+        return cmd_index(rest)
+    if cmd == "classify":
+        return cmd_classify(rest)
+    if cmd == "analysis":
+        return cmd_analysis(rest)
+    print(f"unknown command [{cmd}]", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
