@@ -1,0 +1,101 @@
+"""Exist-filter probe on device: rolling e-kmers + low-complexity filter +
+two-hash bloom test, batched over [B, L] read-code matrices.
+
+Replaces store_kmers + get_exist_kmer (cly.c:359-397, 951-967) with one
+fused dispatch: window base counts via prefix sums, k-mers via lek shifted
+adds (uint32 pair emulation), bitmap probes via word gathers. The bitmaps
+live in HBM as uint32 words (MSB-first bit order within bytes preserved).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import u64emu as u64
+
+
+class EkArrays:
+    def __init__(self, ti=None, device=None, _from=None):
+        if _from is not None:
+            (self.w0, self.w1), (self.mask_bits, self.lek, self.single_base_max) = _from
+            return
+        put = partial(jax.device_put, device=device)
+        w0 = ti.ek_words0
+        w1 = ti.ek_words1
+        self.w0 = put(jnp.asarray(w0.view("uint32") if w0.dtype != "uint32" else w0))
+        self.w1 = put(jnp.asarray(w1.view("uint32") if w1.dtype != "uint32" else w1))
+        self.mask_bits = int(ti.ek_mask_bits)
+        self.lek = int(ti.ek_len)
+        self.single_base_max = int(ti.ek_single_base_max)
+        if (1 << self.mask_bits) > (1 << 35):
+            raise NotImplementedError(
+                "exist filters > 4 GiB need int64 word indexing; shard the "
+                "index instead (DESIGN.md)"
+            )
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(
+    EkArrays,
+    lambda ek: ((ek.w0, ek.w1), (ek.mask_bits, ek.lek, ek.single_base_max)),
+    lambda aux, leaves: EkArrays(_from=(leaves, aux)),
+)
+
+
+def _probe(words, h):
+    """Bit test at hash h: byte h>>3, bit 7-(h&7) (idx.c:1019)."""
+    hi, lo = h
+    # mask_bits <= 37 -> byte index <= 2^34; word index needs up to 35 bits
+    # but practical filters here are <= 4 GiB (word index < 2^30) -> int32
+    word_idx = ((lo >> jnp.uint32(5)) | (hi << jnp.uint32(27))).astype(jnp.int32)
+    byte_in_word = (lo >> jnp.uint32(3)) & jnp.uint32(3)
+    bit = jnp.uint32(7) - (lo & jnp.uint32(7))
+    w = words[word_idx]
+    byte = (w >> (byte_in_word * jnp.uint32(8))) & jnp.uint32(0xFF)
+    return ((byte >> bit) & jnp.uint32(1)).astype(jnp.bool_)
+
+
+@partial(jax.jit, static_argnames=("lek", "single_base_max", "mask_bits"))
+def _probe_reads(w0, w1, codes, lengths, lek: int, single_base_max: int,
+                 mask_bits: int):
+    B, L = codes.shape
+    n_kmer = L - lek + 1
+    c = codes.astype(jnp.int32)
+    # window base counts via prefix sums  [B, L+1]
+    valid = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.int32)
+    fail = jnp.zeros((B, n_kmer), jnp.bool_)
+    for base in range(4):
+        is_b = ((c == base) & (valid == 1)).astype(jnp.int32)
+        ps = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), jnp.cumsum(is_b, axis=1)], axis=1)
+        wc = ps[:, lek:] - ps[:, :-lek]  # count in window [i, i+lek)
+        fail = fail | (wc[:, :n_kmer] >= single_base_max)
+    # rolling kmers as uint32 pair (lek <= 20 -> 40 bits)
+    hi = jnp.zeros((B, n_kmer), jnp.uint32)
+    lo = jnp.zeros((B, n_kmer), jnp.uint32)
+    for j in range(lek):
+        cc = c[:, j : j + n_kmer].astype(jnp.uint32)
+        hi = (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30))
+        lo = (lo << jnp.uint32(2)) | cc
+    kzero = (hi == 0) & (lo == 0)
+    kmer = (hi, lo)
+    keep = ~fail & ~kzero
+    h1 = u64.and_mask_bits(u64.hash64_1(kmer), mask_bits)
+    r1 = _probe(w0, h1)
+    h2 = u64.and_mask_bits(u64.hash64_2(kmer), mask_bits)
+    r2 = _probe(w1, h2)
+    in_read = jnp.arange(n_kmer)[None, :] + lek <= lengths[:, None]
+    return (keep & r1 & r2 & in_read).astype(jnp.uint8)
+
+
+def probe_reads(ek: EkArrays, codes, lengths):
+    """codes: uint8[B, L] (CLY_BIT codes, padded), lengths: int32[B].
+
+    Returns uint8[B, L-lek+1]: 1 where the e-kmer at that offset passes the
+    complexity filter and both bloom probes (exact get_exist_kmer result)."""
+    return _probe_reads(
+        ek.w0, ek.w1, jnp.asarray(codes), jnp.asarray(lengths, jnp.int32),
+        ek.lek, ek.single_base_max, ek.mask_bits,
+    )

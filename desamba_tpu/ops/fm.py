@@ -1,0 +1,226 @@
+"""Batched FM-index primitives on device (jax.numpy path).
+
+The TPU analog of occ (bwt.c:43-65): the 16-bit-LUT popcount becomes a
+masked SWAR popcount over per-char bit-planes; thousands of backward
+extensions run in lockstep to hide HBM gather latency. A Pallas variant
+lives in ops/fm_pallas.py; this module is the portable/jit reference used
+by the engine and by tests.
+
+All row arithmetic is int32 (per-shard rows < 2^31, see DESIGN.md).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def popcount32(x):
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+class FmArrays:
+    """Device-resident FM index arrays (a jax pytree)."""
+
+    def __init__(self, ti=None, device=None, _from=None):
+        if _from is not None:
+            (self.base, self.bits, self.pad, self.rank, self.hash13,
+             self.sa_uni, self.sa_off), (self.dollar_pos, self.L) = _from
+            return
+        put = partial(jax.device_put, device=device)
+        self.base = put(jnp.asarray(ti.bwt_base, dtype=jnp.int32))  # [n_blk, 8]
+        self.bits = put(jnp.asarray(ti.bwt_bits, dtype=jnp.uint32))  # [n_blk, 5, 8]
+        self.pad = put(jnp.asarray(ti.bwt_pad, dtype=jnp.uint8))  # [n_blk*256]
+        self.rank = put(jnp.asarray(np.asarray(ti.rank), dtype=jnp.int32))  # [6]
+        self.hash13 = put(jnp.asarray(ti.hash13, dtype=jnp.int32))
+        self.sa_uni = put(jnp.asarray(ti.sa_uni, dtype=jnp.int32))
+        self.sa_off = put(jnp.asarray(ti.sa_off, dtype=jnp.int32))
+        self.dollar_pos = int(ti.dollar_pos)
+        self.L = int(ti.L)
+
+
+jax.tree_util.register_pytree_node(
+    FmArrays,
+    lambda fm: (
+        (fm.base, fm.bits, fm.pad, fm.rank, fm.hash13, fm.sa_uni, fm.sa_off),
+        (fm.dollar_pos, fm.L),
+    ),
+    lambda aux, leaves: FmArrays(_from=(leaves, aux)),
+)
+
+
+def occ(fm: FmArrays, r, c):
+    """Count of char c in rows [0, r). r:int32[B], c:int32[B] (0..4)."""
+    r = jnp.asarray(r, jnp.int32)
+    c = jnp.asarray(c, jnp.int32)
+    blk = r >> 8
+    within = r & 255
+    words = fm.bits[blk, c]  # [B, 8]
+    widx = jnp.arange(8, dtype=jnp.int32)[None, :]
+    lo = within[:, None] - widx * 32
+    nbits = jnp.clip(lo, 0, 32)
+    # mask of the low nbits of each word
+    full = nbits >= 32
+    m = jnp.where(
+        full,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1),
+    )
+    cnt = popcount32(words & m).sum(axis=1)
+    return fm.base[blk, c] + cnt
+
+
+def bwt_char(fm: FmArrays, r):
+    """Code at row r (includes pad nibbles past L, like the C)."""
+    return fm.pad[jnp.asarray(r, jnp.int32)].astype(jnp.int32)
+
+
+def lf_cur(fm: FmArrays, r):
+    """occ with c=0xff + rank[c]: returns (char, next_row) per lane.
+
+    char 5 ('$') maps to DOLLOR_POS + rank[5] (bwt.c:55 + caller rank add);
+    char > 5 (pad nibble 0xF) is flagged via char value (caller aborts)."""
+    c = bwt_char(fm, r)
+    c_occ = jnp.clip(c, 0, 4)
+    v = occ(fm, r, c_occ)
+    v = jnp.where(c == 5, jnp.int32(fm.dollar_pos), v)
+    nxt = v + fm.rank[jnp.clip(c, 0, 5)]
+    return c, nxt
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
+                    max_rst, l_min, l_max, max_steps: int = 4096):
+    """Lockstep main loop of bwt_MEM_search (cly.c:1399-1417).
+
+    bin2: int32[B, W] padded read codes (both strands concatenated rows);
+    base_off+s_idx locate the rightmost pattern char; search starts after
+    the 13-char hash prefix. Returns dict of per-lane results:
+      status: 0 = broke at `new_sp+max_rst >= new_ep` or `new_sp+1 >= new_ep`
+              1 = returned 0 (l_max reached)
+      sp, ep: the final new interval; match_len: chars before the break char;
+      ptr: index of the next unread char (for the row walks).
+    """
+    B = sp0.shape[0]
+    i32 = jnp.int32
+    L_PRE = 13
+    state = dict(
+        sp=jnp.asarray(sp0, i32),
+        ep=jnp.asarray(ep0, i32),
+        nsp=jnp.zeros(B, i32),
+        nep=jnp.zeros(B, i32),
+        match_len=jnp.full(B, L_PRE, i32),
+        ptr=jnp.asarray(s_idx, i32) - L_PRE,
+        done=jnp.zeros(B, jnp.bool_),
+        status=jnp.zeros(B, i32),
+    )
+    W = bin2.shape[1]
+    rows = jnp.arange(B, dtype=i32)
+
+    def body(st):
+        ptr = st["ptr"]
+        ok = (ptr >= 0) & (ptr < W)
+        ch = jnp.where(ok, bin2[rows, jnp.clip(ptr, 0, W - 1)], 255)
+        valid_c = ch <= 5
+        cc = jnp.clip(ch, 0, 5).astype(i32)
+        c_occ = jnp.clip(cc, 0, 4)
+        nsp = fm.rank[cc] + occ(fm, st["sp"], c_occ)
+        nep = fm.rank[cc] + occ(fm, st["ep"], c_occ)
+        nsp = jnp.where(valid_c, nsp, 0)
+        nep = jnp.where(valid_c, nep, 0)
+        ml = st["match_len"]
+        brk1 = (ml >= l_min - 1) & (nsp + max_rst >= nep)
+        ret0 = (ml >= l_min - 1) & (~brk1) & (ml >= l_max)
+        brk2 = (~brk1) & (~ret0) & (nsp + 1 >= nep)
+        stop = brk1 | ret0 | brk2
+        act = ~st["done"]
+        new = dict(
+            sp=jnp.where(act & ~stop, nsp, st["sp"]),
+            ep=jnp.where(act & ~stop, nep, st["ep"]),
+            nsp=jnp.where(act, jnp.where(stop, nsp, st["nsp"]), st["nsp"]),
+            nep=jnp.where(act, jnp.where(stop, nep, st["nep"]), st["nep"]),
+            match_len=jnp.where(act & ~stop, ml + 1, ml),
+            ptr=jnp.where(act, ptr - 1, ptr),
+            done=st["done"] | (act & stop),
+            status=jnp.where(act & ret0, 1, st["status"]),
+        )
+        return new
+
+    def cond(st):
+        return ~jnp.all(st["done"])
+
+    # bounded while: also guard with max_steps via fori-style counter
+    def body2(carry):
+        st, it = carry
+        return body(st), it + 1
+
+    def cond2(carry):
+        st, it = carry
+        return cond(st) & (it < max_steps)
+
+    state, _ = jax.lax.while_loop(cond2, body2, (state, 0))
+    return dict(
+        sp=state["nsp"], ep=state["nep"], match_len=state["match_len"],
+        ptr=state["ptr"], status=state["status"],
+    )
+
+
+@partial(jax.jit, static_argnames=("trace_cap",))
+def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
+              trace_cap: int = 96):
+    """Lockstep bwt_single_search (cly.c:1339-1378) WITHOUT the sp_set
+    dedup (the host replays dedup from the returned row trace).
+
+    Per lane: walk from start_rows[b], matching bin2[b, ptr], ptr
+    decreasing. Returns:
+      trace: int32[B, trace_cap] the new_sp value of every step taken
+      steps: matched step count (== match_len)
+      bad_char: lane hit a pad nibble > 5 (the C would xassert-abort)
+      overflow: walk exceeded trace_cap (host must replay in full)
+    """
+    B = start_rows.shape[0]
+    i32 = jnp.int32
+    W = bin2.shape[1]
+    rows = jnp.arange(B, dtype=i32)
+
+    def step(carry, _):
+        sp, ptr, n, done, bad = carry
+        c, nxt = lf_cur(fm, sp)
+        ok = (ptr >= 0) & (ptr < W)
+        want = jnp.where(ok, bin2[rows, jnp.clip(ptr, 0, W - 1)], -1)
+        is_bad = c > 5
+        match = (c == want) & (n < max_lens) & ~is_bad
+        act = ~done
+        new_done = done | (act & ~match)
+        out_row = jnp.where(act & match, nxt, -1)
+        return (
+            jnp.where(act & match, nxt, sp),
+            jnp.where(act & match, ptr - 1, ptr),
+            jnp.where(act & match, n + 1, n),
+            new_done,
+            bad | (act & is_bad & (n < max_lens)),
+        ), out_row
+
+    init = (
+        jnp.asarray(start_rows, i32),
+        jnp.asarray(ptrs, i32),
+        jnp.zeros(B, i32),
+        jnp.zeros(B, jnp.bool_),
+        jnp.zeros(B, jnp.bool_),
+    )
+    (sp_f, ptr_f, n_f, done_f, bad_f), trace = jax.lax.scan(
+        step, init, None, length=trace_cap
+    )
+    overflow = ~done_f  # still matching after trace_cap steps
+    # stop reason: max-len stop excludes the final row from SA tracking
+    # (the C breaks before the sa update, cly.c:1351-1359)
+    stop_max = n_f >= jnp.asarray(max_lens, jnp.int32)
+    return dict(
+        trace=trace.T, steps=n_f, final_sp=sp_f, final_ptr=ptr_f,
+        bad_char=bad_f, overflow=overflow, stop_max=stop_max,
+    )

@@ -24,3 +24,35 @@ needs_ref_binary = pytest.mark.skipif(
     not have_ref_binary(),
     reason="compiled reference binary not available (set DESAMBA_REF_BIN)",
 )
+
+_GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+_CACHE = "/tmp/desamba_tpu_test_cache/golden_idx"
+
+
+@pytest.fixture(scope="session")
+def golden_index_dir():
+    """Reference-format index for tests/golden/ref.fa, built once per machine
+    (cached in /tmp keyed by the fasta mtime+size)."""
+    from desamba_tpu.index.build import build_index
+    from desamba_tpu.index.format_ref import save_ref_format
+
+    ref = os.path.join(_GOLD, "ref.fa")
+    st = os.stat(ref)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    stamp_file = os.path.join(_CACHE, "stamp.txt")
+    if not (
+        os.path.exists(stamp_file) and open(stamp_file).read() == stamp
+    ):
+        idx = build_index(ref)
+        save_ref_format(idx, _CACHE)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
+    return _CACHE
+
+
+@pytest.fixture(scope="session")
+def golden_oracle_index(golden_index_dir):
+    from desamba_tpu.index.format_ref import RefFormatIndex
+    from desamba_tpu.oracle.classify import OracleIndex
+
+    return OracleIndex(RefFormatIndex(golden_index_dir))

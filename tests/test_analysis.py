@@ -44,16 +44,13 @@ def test_meta_analysis_no_match_path():
     assert snap is None
 
 
-def test_engine_api_roundtrip(tmp_path):
+def test_engine_api_roundtrip(golden_index_dir):
     """Engine mirrors desamba.h: load once, classify (SAM_FULL), analyze."""
-    from desamba_tpu.engine.api import Engine
-    from desamba_tpu.index.build import build_index
-    from desamba_tpu.index.format_ref import save_ref_format
     import shutil
 
-    d = tmp_path / "idx"
-    idx = build_index(os.path.join(GOLD, "ref.fa"))
-    save_ref_format(idx, str(d))
+    from desamba_tpu.engine.api import Engine
+
+    d = golden_index_dir
     shutil.copy(os.path.join(GOLD, "nodes.dmp"), d)
     shutil.copy(os.path.join(GOLD, "names.dmp"), d)
     eng = Engine(str(d))

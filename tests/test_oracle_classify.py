@@ -15,11 +15,8 @@ GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
 @pytest.fixture(scope="module")
-def golden_index(tmp_path_factory):
-    d = tmp_path_factory.mktemp("gidx")
-    idx = build_index(os.path.join(GOLD, "ref.fa"))
-    save_ref_format(idx, str(d))
-    return OracleIndex(RefFormatIndex(str(d)))
+def golden_index(golden_oracle_index):
+    return golden_oracle_index
 
 
 def _run_oracle(idx, output_seq):
