@@ -52,36 +52,58 @@ def prepare():
     return fa, fq, idx_dir
 
 
-def bench_engine(idx_dir, fq):
+def bench_engine(idx_dir, fq, n_threads):
+    """Production classify path: the native batch engine (same semantics as
+    the reference, validated bit-exact in tests) + the SAM formatter."""
+    from desamba_tpu.engine.native import NativeClassifier
     from desamba_tpu.index.format_ref import RefFormatIndex
     from desamba_tpu.io.fastx import read_fastx
-    from desamba_tpu.engine.tpu_engine import TpuClassifier
     from desamba_tpu.oracle.classify import OracleIndex
+    from desamba_tpu.oracle.driver import format_sam
 
     oi = OracleIndex(RefFormatIndex(idx_dir))
-    eng = TpuClassifier(oi, sub_batch=128)
+    eng = NativeClassifier(oi, n_threads=n_threads)
     reads = [(r.name, r.seq, r.qual) for r in read_fastx(fq)]
-    # warmup (compile)
+    eng.classify_batch(reads[:8])  # warmup (page-in)
     t0 = time.time()
-    eng.classify_to_sam(reads[:16], output_seq=False)
-    log(f"bench: warmup {time.time()-t0:.1f}s")
-    t0 = time.time()
-    sam = eng.classify_to_sam(reads, output_seq=False)
+    results = eng.classify_batch(reads)
+    sam = "".join(format_sam(oi, r, False) for r in results)
     dt = time.time() - t0
     rps = len(reads) / dt
-    log(f"bench: engine {len(reads)} reads in {dt:.2f}s = {rps:.2f} reads/s "
-        f"(stats: {dict(eng.stats)})")
+    log(f"bench: native engine (-t {n_threads}) {len(reads)} reads in "
+        f"{dt:.2f}s = {rps:.2f} reads/s")
     return rps, sam
 
 
-def bench_reference(idx_dir, fq):
-    if not os.path.exists(REF_BIN):
+def _ensure_ref_binary():
+    """Build the reference C binary from a copy of /root/reference (never
+    writing there) so the baseline is measured live on this host."""
+    if os.path.exists(REF_BIN):
+        return True
+    src = "/root/reference/src"
+    if REF_BIN != "/tmp/refbuild/bin/deSAMBA" or not os.path.isdir(src):
+        return False
+    try:
+        import shutil
+
+        if not os.path.isdir("/tmp/refbuild/src"):
+            shutil.copytree("/root/reference", "/tmp/refbuild", dirs_exist_ok=True)
+        subprocess.run(["make", "-C", "/tmp/refbuild/src", "rebuild"],
+                       check=True, capture_output=True)
+        return os.path.exists(REF_BIN)
+    except Exception as e:  # no zlib dev / cc missing: fall back
+        log(f"bench: could not build reference binary ({e})")
+        return False
+
+
+def bench_reference(idx_dir, fq, n_threads):
+    if not _ensure_ref_binary():
         return None
-    cachef = os.path.join(CACHE, "ref_rps.txt")
+    cachef = os.path.join(CACHE, f"ref_rps_t{n_threads}.txt")
     if os.path.exists(cachef):
         return float(open(cachef).read())
     t0 = time.time()
-    p = subprocess.run([REF_BIN, "classify", "-t", "1", idx_dir, fq],
+    p = subprocess.run([REF_BIN, "classify", "-t", str(n_threads), idx_dir, fq],
                        capture_output=True)
     dt = time.time() - t0
     if p.returncode != 0:
@@ -90,14 +112,16 @@ def bench_reference(idx_dir, fq):
     rps = n / dt
     with open(cachef, "w") as f:
         f.write(str(rps))
-    log(f"bench: reference C (-t 1) {n} reads in {dt:.2f}s = {rps:.2f} reads/s")
+    log(f"bench: reference C (-t {n_threads}) {n} reads in {dt:.2f}s = "
+        f"{rps:.2f} reads/s")
     return rps
 
 
 def main():
     fa, fq, idx_dir = prepare()
-    rps, _ = bench_engine(idx_dir, fq)
-    base = bench_reference(idx_dir, fq) or FALLBACK_BASELINE_RPS
+    n_threads = int(os.environ.get("BENCH_THREADS", str(min(8, os.cpu_count() or 1))))
+    rps, _ = bench_engine(idx_dir, fq, n_threads)
+    base = bench_reference(idx_dir, fq, n_threads) or FALLBACK_BASELINE_RPS
     print(json.dumps({
         "metric": "classify_long_reads",
         "value": round(rps, 2),

@@ -63,13 +63,14 @@ def cmd_classify(argv):
     ap = argparse.ArgumentParser(prog="desamba-tpu classify")
     ap.add_argument("index_dir")
     ap.add_argument("reads", nargs="+")
-    ap.add_argument("-t", type=int, default=4, help="threads (ignored: batch engine)")
+    ap.add_argument("-t", type=int, default=4, help="threads (native engine workers)")
     ap.add_argument("-l", type=int, default=170, help="min matching length")
     ap.add_argument("-r", type=int, default=5, help="max secondary alignments")
     ap.add_argument("-o", default=None, help="output file [stdout]")
     ap.add_argument("-s", type=int, default=64, help="min score")
     ap.add_argument("-f", default="SAM", choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
-    ap.add_argument("--engine", default="oracle", choices=["oracle", "tpu"])
+    ap.add_argument("--engine", default="native",
+                    choices=["native", "oracle", "tpu"])
     a = ap.parse_args(argv)
 
     from .io.fastx import read_fastx
@@ -78,7 +79,40 @@ def cmd_classify(argv):
     t0 = time.time()
     total = 0
     output_seq = a.f == "SAM_FULL"
-    if a.engine == "tpu":
+    if a.engine == "native":
+        from .constants import N_NEEDED
+        from .engine.native import NativeClassifier
+        from .index.format_ref import RefFormatIndex
+        from .io.sam import format_des, format_des_full
+        from .oracle.classify import OracleIndex
+        from .oracle.driver import format_sam
+
+        idx = OracleIndex(RefFormatIndex(a.index_dir),
+                          filter_min_length=a.l, filter_min_score=a.s)
+        eng = NativeClassifier(idx, n_threads=a.t)
+        for path in a.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            batch = []
+
+            def flush():
+                for res in eng.classify_batch(batch):
+                    if getattr(res, "aborted", False):
+                        continue  # the reference binary would crash here
+                    if a.f == "DES":
+                        out.write(format_des(idx.ref_names, res, a.r))
+                    elif a.f == "DES_FULL":
+                        out.write(format_des_full(idx.ref_names, res))
+                    else:
+                        out.write(format_sam(idx, res, output_seq, a.r))
+                batch.clear()
+
+            for r in read_fastx(path):
+                total += 1
+                batch.append((r.name, r.seq, r.qual))
+                if len(batch) >= N_NEEDED:
+                    flush()
+            flush()
+    elif a.engine == "tpu":
         from .engine.tpu_engine import TpuClassifier
         from .index.format_ref import RefFormatIndex
         from .oracle.classify import OracleIndex
@@ -94,6 +128,7 @@ def cmd_classify(argv):
                                           max_sec_n=a.r))
     else:
         from .index.format_ref import RefFormatIndex
+        from .io.sam import format_des, format_des_full
         from .oracle.classify import OracleIndex
         from .oracle.driver import OracleClassifier, format_sam
 
@@ -105,7 +140,12 @@ def cmd_classify(argv):
             for r in read_fastx(path):
                 total += 1
                 res = cl.classify_read(r.name, r.seq, r.qual)
-                out.write(format_sam(idx, res, output_seq, a.r))
+                if a.f == "DES":
+                    out.write(format_des(idx.ref_names, res, a.r))
+                elif a.f == "DES_FULL":
+                    out.write(format_des_full(idx.ref_names, res))
+                else:
+                    out.write(format_sam(idx, res, output_seq, a.r))
     secs = time.time() - t0
     print(f"{total} sequences processed in {secs:.3f}s "
           f"({total / 1.0e3 / (secs / 60):.1f} Kseq/m).", file=sys.stderr)

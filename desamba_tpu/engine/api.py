@@ -26,13 +26,13 @@ from ..oracle.driver import OracleClassifier, format_sam
 class _ThreadBuff:
     def __init__(self, engine, thread_num: int):
         self.thread_num = thread_num
-        self.backend = engine._new_backend()
+        self.backend = engine._new_backend(thread_num)
 
 
 class Engine:
     """load_index (cly_mt.c:1238-1274): index + MAPQ + taxonomy, once."""
 
-    def __init__(self, index_dir: str, backend: str = "oracle",
+    def __init__(self, index_dir: str, backend: str = "native",
                  filter_min_length: int = 170, filter_min_score: int = 64):
         self.index_dir = index_dir
         self.backend_kind = backend
@@ -51,9 +51,13 @@ class Engine:
 
             self._tpu = TpuClassifier(self.idx)
 
-    def _new_backend(self):
+    def _new_backend(self, thread_num: int = 1):
         if self.backend_kind == "tpu":
             return self._tpu.new_session()
+        if self.backend_kind == "native":
+            from .native import NativeClassifier
+
+            return NativeClassifier(self.idx, n_threads=max(1, thread_num))
         return OracleClassifier(self.idx)
 
     def _buff_for(self, thread_id: int, thread_num: int) -> _ThreadBuff:
@@ -80,9 +84,16 @@ class Engine:
                 return ""
         buff = self._buff_for(thread_id, thread_num)
         out = []
-        for r in read_fastx(reads_src):
-            res = buff.backend.classify_read(r.name, r.seq, r.qual)
-            out.append(format_sam(self.idx, res, output_seq))
+        if hasattr(buff.backend, "classify_batch"):
+            reads = [(r.name, r.seq, r.qual) for r in read_fastx(reads_src)]
+            for res in buff.backend.classify_batch(reads):
+                if getattr(res, "aborted", False):
+                    continue  # the reference binary would crash on this read
+                out.append(format_sam(self.idx, res, output_seq))
+        else:
+            for r in read_fastx(reads_src):
+                res = buff.backend.classify_read(r.name, r.seq, r.qual)
+                out.append(format_sam(self.idx, res, output_seq))
         return "".join(out)
 
     def meta_analysis(self, sam_text, thread_id: int = 0,
