@@ -36,9 +36,23 @@ def f32(x) -> float:
     return float(np.float32(x))
 
 
+def fdiv(a, b) -> float:
+    """Single-precision a/b with C semantics (0/0 -> -nan, x/0 -> inf)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.float32(a) / np.float32(b))
+
+
+def fmul(a, b) -> float:
+    with np.errstate(invalid="ignore"):
+        return float(np.float32(a) * np.float32(b))
+
+
 def _fmt_f(x: float) -> str:
-    """printf %f of a float32 value."""
-    return f"{f32(x):f}"
+    """printf %f of a float32 value (glibc nan/inf spellings)."""
+    x = float(np.float32(x))
+    if x != x:
+        return "-nan" if np.signbit(np.float32(x)) else "nan"
+    return f"{x:f}"
 
 
 # ------------------------------------------------------------ SAM parse ----
@@ -180,65 +194,179 @@ class WeightTree:
             lst.append(c)
 
 
-def _sorted_counts(node_count: dict[int, int]):
+def _sorted_counts(node_count: dict[int, int], elem_size: int = SZ_COUNT_SORT):
     """Counts in the order cmp_count_sort + glibc qsort produce
     (0/1 comparator -> descending by count, ties in tid order)."""
     items = sorted(node_count.items())  # ascending tid (array scan order)
-    items = [(t, c) for t, c in items if c != 0]
+    items = [(t, c) for t, c in items if (c[0] if isinstance(c, tuple) else c) != 0]
     perm = qsort_perm(
-        len(items), SZ_COUNT_SORT,
-        lambda a, b: 1 if items[a][1] < items[b][1] else 0,
+        len(items), elem_size,
+        lambda a, b: 1 if _w(items[a][1]) < _w(items[b][1]) else 0,
     )
     return [items[k] for k in perm]
 
 
-def ana_meta_report(sam_text: str, tax: Taxonomy, sam_path_label: str) -> str:
+def _w(v):
+    """weight of a count entry: plain int or (base, mapq) tuple."""
+    return v[0] if isinstance(v, tuple) else v
+
+
+def ana_meta_report(sam_text: str, tax: Taxonomy, sam_path_label: str,
+                    print_list: bool = False) -> str:
     """CLI `analysis ana_meta <sam> <nodes.dmp>` stdout, byte-for-byte
     (ana_meta_des -> dump_des_sam_file -> ana_meta, analysis.c)."""
     rsts = list(iter_sam(sam_text, "cli"))
-    return ana_meta_report_from_rsts(rsts, tax, sam_path_label + ".temp")
+    return ana_meta_report_from_rsts(rsts, tax, sam_path_label + ".temp",
+                                     print_list)
 
 
-def ana_meta_report_from_rsts(rsts, tax: Taxonomy, label: str) -> str:
+def _cli_leaf_line(out, tax, node_id, rate):
+    """ana_meta_loop_fprint leaf line, CLI flavor (analysis.c:1236-1289):
+    species type, tid|rank, raw rate (weight/total, not percent)."""
+    st = species_type_of(node_id, tax)
+    out.write(f"{st}\t{node_id}|{tax.rank[node_id]}\tnull\t{_fmt_f(rate)}\n")
+
+
+def _print_tree(out, tax, tree, total, print_list, is_base, mapq=None,
+                err=None):
+    """ana_meta_loop_print (analysis.c:1292-1317) or, with print_list, the
+    leaf-only ana_meta_loop_fprint (analysis.c:1236-1289), from root tid 1."""
+    if print_list:
+        import sys as _sys
+
+        err = err or _sys.stderr
+
+        def rec(node_id, level):
+            w = tree.weight.get(node_id, 0)
+            if w == 0:
+                return
+            kids = tree.children.get(node_id, [])
+            if kids:
+                for ch in kids:
+                    rec(ch, level + 1)
+            else:
+                rate = fdiv(w, total)
+                _cli_leaf_line(out, tax, node_id, rate)
+                # DEBUG stderr echo (analysis.c:1285-1288; DEBUG=1, desc.h:4)
+                st = species_type_of(node_id, tax)
+                err.write("  " * level)
+                err.write(
+                    f"DEBUG: {st}\t{node_id}|{tax.rank[node_id]}\tnull\t"
+                    f"{_fmt_f(rate)}\n"
+                )
+
+        rec(1, 0)
+        return
+
+    def rec(node_id, level):
+        w = tree.weight.get(node_id, 0)
+        rate = fmul(fdiv(w, total), 100)
+        if is_base:
+            mq = fmul(fdiv(mapq.get(node_id, 0) if mapq else 0, w), rate)
+        if rate < 0.01:  # False for nan, like the C (analysis.c:1297)
+            return
+        out.write("|" * level)
+        if is_base:
+            out.write(
+                f"{tax.rank[node_id]} TID:{node_id}  {_fmt_f(rate)}%, "
+                f"mapQ:{_fmt_f(mq)}\n"
+            )
+        else:
+            out.write(f"{tax.rank[node_id]} TID:{node_id}  {_fmt_f(rate)}%\n")
+        for ch in tree.children.get(node_id, []):
+            rec(ch, level + 1)
+
+    rec(1, 0)
+
+
+def _build_tree(node_count, tax, elem_size, with_mapq=False):
+    """Tree weight propagation (analysis.c:1475-1505): leaves in qsort order,
+    weights lifted to every ancestor, ordered child lists."""
+    tree = WeightTree()
+    mapq: dict[int, int] = {}
+    for tid, cnt in _sorted_counts(node_count, elem_size):
+        w = _w(cnt)
+        q = cnt[1] if isinstance(cnt, tuple) else 0
+        c = tid
+        tree.weight[c] = tree.weight.get(c, 0) + w
+        if with_mapq:
+            mapq[c] = mapq.get(c, 0) + q
+        while True:
+            p = tax.p_tid(c)
+            if p < 1 or p == MAX_U32:
+                break
+            tree.weight[p] = tree.weight.get(p, 0) + w
+            if with_mapq:
+                mapq[p] = mapq.get(p, 0) + q
+            tree.add_child(p, c)
+            c = p
+    return tree, mapq
+
+
+def ana_meta_report_from_rsts(rsts, tax: Taxonomy, label: str,
+                              print_list: bool = False) -> str:
     """`analysis ana_meta_rst` path (ana_meta, analysis.c:1390-1519)."""
     out = io.StringIO()
-    tmp_name = label
-    out.write(f"Current read {tmp_name}\t{tmp_name}\tData:\n")
+    out.write(f"Current read {label}\t{label}\t")
     node_count: dict[int, int] = {}
     total = 0
     i = 0
     while i < len(rsts):
         total += 1
         tid, i = ana_get_tid_stream(rsts, i, tax, flavor="cli")
-        # the C drops the last read's tid when it coincides with EOF
-        # (ana_get_tid returns 0 on eof mid-primary... actually it returns
-        # tid; the loop adds then breaks) — handled by stream semantics
         if tid > 0:
             node_count[tid] = node_count.get(tid, 0) + 1
-    tree = WeightTree()
-    for tid, cnt in _sorted_counts(node_count):
-        c = tid
-        tree.weight[c] = tree.weight.get(c, 0) + cnt
-        while True:
-            p = tax.p_tid(c)
-            if p < 1 or p == MAX_U32:
-                break
-            tree.weight[p] = tree.weight.get(p, 0) + cnt
-            tree.add_child(p, c)
-            c = p
-
-    def rec(node_id, level):
-        w = tree.weight.get(node_id, 0)
-        rate = f32(f32(f32(w) / total) * 100) if total else 0.0
-        if rate < 0.01:
-            return
-        out.write("|" * level)
-        out.write(f"{tax.rank[node_id]} TID:{node_id}  {_fmt_f(rate)}%\n")
-        for ch in tree.children.get(node_id, []):
-            rec(ch, level + 1)
-
-    rec(1, 0)
+    tree, _ = _build_tree(node_count, tax, SZ_COUNT_SORT)
+    out.write("Data:\n")
+    _print_tree(out, tax, tree, total, print_list, is_base=False)
     out.write(f"total_read_number :{total}\t")
+    return out.getvalue()
+
+
+MIN_BASE_SCORE = 10  # MIN_SCORE (analysis.c:1536)
+SZ_BASE_SORT = 16    # BASE_SORT (analysis.c:1521-1524)
+SZ_BASE_Q = 24       # NODE_BASE_Q (analysis.c:1676-1680)
+
+
+def ana_meta_base_report_from_rsts(rsts, tax: Taxonomy, label: str,
+                                   m2: bool = False,
+                                   print_list: bool = False) -> str:
+    """ana_meta_base (analysis.c:1537-1674) / ana_meta_base_M2
+    (analysis.c:1684-1803): base-weighted abundance with a min-score gate,
+    low-identity stats, and (M2) length-weighted mapQ aggregation."""
+    out = io.StringIO()
+    out.write(f"Current read {label}\t{label}\t")
+    node_base: dict[int, tuple[int, int]] = {}
+    total_base = 0
+    low_n = low_b = 0
+    i = 0
+    while i < len(rsts):
+        rst = rsts[i]
+        read_len = rst.read_length
+        map_q = rst.mapq
+        coverage = 0.0
+        if rst.is_classify == "C" and rst.tid <= tax.max_tid:
+            coverage = (
+                f32(np.float32(rst.score) / np.float32(read_len))
+                if read_len > 0 else 0.0
+            )
+        tid, i = ana_get_tid_stream(rsts, i, tax, flavor="cli")
+        if tid > 0:
+            if f32(np.float32(coverage) * np.float32(read_len)) > MIN_BASE_SCORE:
+                total_base += read_len
+                b, q = node_base.get(tid, (0, 0))
+                node_base[tid] = (b + read_len, q + read_len * map_q)
+                if coverage < 0.08:
+                    low_b += read_len
+                    low_n += 1
+    tree, mapq = _build_tree(node_base, tax,
+                             SZ_BASE_Q if m2 else SZ_BASE_SORT,
+                             with_mapq=m2)
+    out.write("Analysis based on base number:\n")
+    _print_tree(out, tax, tree, total_base, print_list, is_base=m2, mapq=mapq)
+    out.write(f"total_mapped_base_number :{total_base}\n")
+    out.write(f"low identity read (identity <= 75%) number :{low_n}\t")
+    out.write(f"total base {low_b}\t")
     return out.getvalue()
 
 
