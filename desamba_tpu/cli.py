@@ -38,6 +38,9 @@ def cmd_index(argv):
     ap.add_argument("args", nargs="+", help="[kmer.srt] <ref.fa> <index_dir>")
     ap.add_argument("--native", action="store_true",
                     help="also write the native tensor format")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="build N genome-sharded sub-indexes + manifest "
+                         "(parallel/shard_index.py) instead of one index")
     a = ap.parse_args(argv)
     from .index.build import build_index
     from .index.format_ref import save_ref_format
@@ -48,6 +51,16 @@ def cmd_index(argv):
         ref, out = a.args
     else:
         ap.error("expected [kmer.srt] <ref.fa> <index_dir>")
+    if a.shards > 1:
+        from .parallel.shard_index import build_sharded_index
+
+        t0 = time.time()
+        dirs = build_sharded_index(
+            ref, out, a.shards,
+            progress=lambda s: print(f"[{s}]", file=sys.stderr))
+        print(f"sharded index ({a.shards} shards) built in "
+              f"{time.time()-t0:.1f}s: {out}", file=sys.stderr)
+        return
     t0 = time.time()
     idx = build_index(ref, progress=lambda s: print(f"[{s}]", file=sys.stderr))
     save_ref_format(idx, out)
@@ -70,8 +83,10 @@ def cmd_classify(argv):
     ap.add_argument("-s", type=int, default=64, help="min score")
     ap.add_argument("-f", default="SAM", choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
     ap.add_argument("--engine", default="native",
-                    choices=["native", "oracle", "tpu"])
+                    choices=["native", "oracle", "tpu", "sharded"])
     a = ap.parse_args(argv)
+
+    import os
 
     from .io.fastx import read_fastx
 
@@ -79,7 +94,24 @@ def cmd_classify(argv):
     t0 = time.time()
     total = 0
     output_seq = a.f == "SAM_FULL"
-    if a.engine == "native":
+    if os.path.exists(os.path.join(a.index_dir, "shards.json")):
+        a.engine = "sharded"
+    if a.engine == "sharded":
+        from .constants import N_NEEDED
+        from .parallel.shard_index import ShardedEngine
+
+        eng = ShardedEngine(a.index_dir, n_threads=a.t)
+        for path in a.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            batch = []
+            for r in read_fastx(path):
+                total += 1
+                batch.append((r.name, r.seq, r.qual))
+                if len(batch) >= N_NEEDED:
+                    out.write(eng.classify_to_sam(batch, output_seq, a.r))
+                    batch.clear()
+            out.write(eng.classify_to_sam(batch, output_seq, a.r))
+    elif a.engine == "native":
         from .constants import N_NEEDED
         from .engine.native import NativeClassifier
         from .index.format_ref import RefFormatIndex
