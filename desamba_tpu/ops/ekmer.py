@@ -90,6 +90,21 @@ def _probe_reads(w0, w1, codes, lengths, lek: int, single_base_max: int,
     return (keep & r1 & r2 & in_read).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("lek",))
+def kmer_lo26(codes, lek: int):
+    """Low 26 bits (last 13 bases) of the e-kmer ending at each offset —
+    the hash13 prefix value pre_v (PRE_IDX_MASK, idx.h:59) per position.
+
+    codes: uint8[B, L]; returns int32[B, L-lek+1]."""
+    B, L = codes.shape
+    n_kmer = L - lek + 1
+    c = codes.astype(jnp.uint32)
+    lo = jnp.zeros((B, n_kmer), jnp.uint32)
+    for j in range(lek - 13, lek):
+        lo = (lo << jnp.uint32(2)) | c[:, j : j + n_kmer]
+    return (lo & jnp.uint32(0x3FFFFFF)).astype(jnp.int32)
+
+
 def probe_reads(ek: EkArrays, codes, lengths):
     """codes: uint8[B, L] (CLY_BIT codes, padded), lengths: int32[B].
 

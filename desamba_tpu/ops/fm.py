@@ -95,12 +95,15 @@ def lf_cur(fm: FmArrays, r):
 
 @partial(jax.jit, static_argnames=("max_steps",))
 def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
-                    max_rst, l_min, l_max, max_steps: int = 4096):
+                    max_rst, l_min, l_max, max_steps: int = 4096,
+                    lanes=None):
     """Lockstep main loop of bwt_MEM_search (cly.c:1399-1417).
 
     bin2: int32[B, W] padded read codes (both strands concatenated rows);
     base_off+s_idx locate the rightmost pattern char; search starts after
-    the 13-char hash prefix. Returns dict of per-lane results:
+    the 13-char hash prefix. `lanes` (int32[B], optional) maps each search
+    lane to its bin2 row so many searches can share one read row without
+    materializing copies. Returns dict of per-lane results:
       status: 0 = broke at `new_sp+max_rst >= new_ep` or `new_sp+1 >= new_ep`
               1 = returned 0 (l_max reached)
       sp, ep: the final new interval; match_len: chars before the break char;
@@ -120,7 +123,7 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
         status=jnp.zeros(B, i32),
     )
     W = bin2.shape[1]
-    rows = jnp.arange(B, dtype=i32)
+    rows = jnp.arange(B, dtype=i32) if lanes is None else jnp.asarray(lanes, i32)
 
     def body(st):
         ptr = st["ptr"]
@@ -170,14 +173,16 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
     )
 
 
-@partial(jax.jit, static_argnames=("trace_cap",))
+@partial(jax.jit, static_argnames=("trace_cap", "with_trace"))
 def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
-              trace_cap: int = 96):
+              trace_cap: int = 96, lanes=None, with_trace: bool = True):
     """Lockstep bwt_single_search (cly.c:1339-1378) WITHOUT the sp_set
     dedup (the host replays dedup from the returned row trace).
 
     Per lane: walk from start_rows[b], matching bin2[b, ptr], ptr
-    decreasing. Returns:
+    decreasing. `lanes` (int32[B], optional) maps walk lanes to bin2 rows;
+    with_trace=False skips materializing the [B, trace_cap] trace (fast
+    mode needs only steps/final_sp). Returns:
       trace: int32[B, trace_cap] the new_sp value of every step taken
       steps: matched step count (== match_len)
       bad_char: lane hit a pad nibble > 5 (the C would xassert-abort)
@@ -186,7 +191,7 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
     B = start_rows.shape[0]
     i32 = jnp.int32
     W = bin2.shape[1]
-    rows = jnp.arange(B, dtype=i32)
+    rows = jnp.arange(B, dtype=i32) if lanes is None else jnp.asarray(lanes, i32)
 
     def step(carry, _):
         sp, ptr, n, done, bad = carry
@@ -197,7 +202,7 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
         match = (c == want) & (n < max_lens) & ~is_bad
         act = ~done
         new_done = done | (act & ~match)
-        out_row = jnp.where(act & match, nxt, -1)
+        out_row = jnp.where(act & match, nxt, -1) if with_trace else None
         return (
             jnp.where(act & match, nxt, sp),
             jnp.where(act & match, ptr - 1, ptr),
@@ -221,6 +226,7 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
     # (the C breaks before the sa update, cly.c:1351-1359)
     stop_max = n_f >= jnp.asarray(max_lens, jnp.int32)
     return dict(
-        trace=trace.T, steps=n_f, final_sp=sp_f, final_ptr=ptr_f,
+        trace=trace.T if with_trace else None,
+        steps=n_f, final_sp=sp_f, final_ptr=ptr_f,
         bad_char=bad_f, overflow=overflow, stop_max=stop_max,
     )

@@ -2,7 +2,10 @@ import os
 import sys
 
 # CPU-only 8-device virtual mesh for all tests; must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the environment may preset JAX_PLATFORMS to the
+# real TPU platform, whose per-op compiles make CPU-sized tests crawl.
+if os.environ.get("DESAMBA_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

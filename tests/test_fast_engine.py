@@ -1,0 +1,152 @@
+"""Fast (device-resident) classify path: ops and end-to-end accuracy.
+
+Runs on CPU (conftest env); the same jit pipeline runs on TPU unchanged.
+"""
+import os
+
+import numpy as np
+import pytest
+
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def test_run_lengths_and_top_seeds():
+    from desamba_tpu.ops.seeds import run_lengths, top_seeds
+
+    ex = np.array([[0, 1, 1, 1, 0, 1, 0, 0, 1, 1]], np.uint8)
+    r = np.asarray(run_lengths(ex))
+    assert r.tolist() == [[0, 1, 2, 3, 0, 1, 0, 0, 1, 2]]
+    kidx, runlen = top_seeds(ex, window=5)
+    # window [0,5): longest run ends at 3 (len 3); window [5,10): at 9 (len 2)
+    assert np.asarray(kidx).tolist() == [[3, 9]]
+    assert np.asarray(runlen).tolist() == [[3, 2]]
+
+
+def test_top_seeds_prefers_earlier_on_ties():
+    from desamba_tpu.ops.seeds import top_seeds
+
+    ex = np.array([[1, 0, 1, 0, 1, 0]], np.uint8)  # three runs of length 1
+    kidx, runlen = top_seeds(ex, window=6)
+    assert np.asarray(kidx).tolist() == [[0]]
+    assert np.asarray(runlen).tolist() == [[1]]
+
+
+def test_resolve_rows_matches_oracle_get_uni(golden_oracle_index):
+    """Device SA resolution == the scalar get_uni walk (cly.c:466-491)."""
+    from desamba_tpu.index.tensor_index import from_oracle_index
+    from desamba_tpu.ops.fm import FmArrays
+    from desamba_tpu.ops.locate import LocArrays, resolve_rows
+
+    oi = golden_oracle_index
+    ti = from_oracle_index(oi)
+    fm = FmArrays(ti)
+    loc = LocArrays(ti)
+    rng = np.random.default_rng(3)
+    # skip the sentinel-suffix region (rows < rank[0]): pattern searches
+    # never land there and its position math is degenerate
+    rows = rng.integers(int(oi.rank[0]), oi.L, 64).astype(np.int32)
+    res = {k: np.asarray(v) for k, v in resolve_rows(
+        fm, loc, rows, np.ones(64, bool)).items()}
+    checked = 0
+    for i, r0 in enumerate(rows):
+        # oracle walk: LF until a sampled row, like the device loop
+        r, k, bad = int(r0), 0, False
+        while (r & 7) != 0:
+            c, v = oi.occ_cur(r)
+            if c >= 4:
+                bad = True
+                break
+            r = v + int(oi.rank[c])
+            k += 1
+            if k > 24:
+                bad = True
+                break
+        if bad:
+            assert not res["ok"][i]
+            continue
+        uni, g, u_off = oi.get_uni(r, k) if k > 0 else (None, None, None)
+        if k == 0:
+            # get_uni's search_l<=0 branch skips normalization; compute here
+            s = r >> 3
+            uni = int(oi.sa_uni[s])
+            u_off = int(oi.sa_off[s]) + 1
+            while u_off >= oi.uni_length(uni):
+                u_off -= oi.uni_length(uni) + 1
+                uni += 1
+        assert res["ok"][i]
+        assert res["uni"][i] == uni, f"row {r0}"
+        assert res["u_off"][i] == u_off, f"row {r0}"
+        checked += 1
+    assert checked > 32  # most random rows resolve
+
+
+def test_expand_refpos(golden_oracle_index):
+    from desamba_tpu.index.tensor_index import from_oracle_index
+    from desamba_tpu.ops.locate import LocArrays, expand_refpos
+
+    oi = golden_oracle_index
+    loc = LocArrays(from_oracle_index(oi))
+    uni = np.array([5, 10], np.int32)
+    u_off = np.array([7, 3], np.int32)
+    ref, gpos, val = (np.asarray(x) for x in expand_refpos(
+        loc, uni, u_off, np.array([True, True])))
+    for j, (u, o) in enumerate([(5, 7), (10, 3)]):
+        s, e = oi.uni_refpos_range(u)
+        n = min(e - s, ref.shape[1])
+        assert val[j, :n].all() and not val[j, n:].any()
+        for k in range(n):
+            assert ref[j, k] == oi.refpos_refid[s + k]
+            assert gpos[j, k] == oi.refpos_global[s + k] + o
+
+
+@pytest.fixture(scope="module")
+def fast_cl(golden_oracle_index):
+    from desamba_tpu.engine.fast_engine import FastClassifier
+
+    return FastClassifier(golden_oracle_index)
+
+
+def _golden_reads(max_len=None):
+    from desamba_tpu.io.fastx import read_fastx
+
+    reads = [(r.name, r.seq, r.qual) for r in
+             read_fastx(os.path.join(GOLD, "reads.fq"))]
+    if max_len:
+        reads = [r for r in reads if len(r[1]) <= max_len]
+    return reads
+
+
+def test_fast_engine_accuracy_short_reads(fast_cl):
+    """True-tid accuracy on the short-read subset (fast to compile on CPU)."""
+    reads = _golden_reads(max_len=250)
+    res = fast_cl.classify_batch(reads)
+    withtid = [r for r in res if "_" in r.name]
+    ok = sum(1 for r in withtid if r.ref_ID >= 0 and
+             str(fast_cl.tid_of(r.ref_ID)) == r.name.rsplit("_", 1)[1])
+    assert ok >= int(0.9 * len(withtid)), f"{ok}/{len(withtid)}"
+    junk = [r for r in res if "_" not in r.name]
+    assert sum(1 for r in junk if r.ref_ID >= 0) <= 1  # low false-positive
+
+
+def test_fast_engine_batch_padding_consistency(fast_cl):
+    """Results must not depend on batch composition (padding/bucketing)."""
+    reads = _golden_reads(max_len=250)
+    solo = [fast_cl.classify_batch([r])[0] for r in reads[:5]]
+    batch = fast_cl.classify_batch(reads[:5])
+    for a, b in zip(solo, batch):
+        assert (a.ref_ID, a.score, a.direction) == (b.ref_ID, b.score, b.direction)
+
+
+def test_fast_engine_mesh_matches_single(golden_oracle_index):
+    """Data-parallel (8-dev CPU mesh) == single-device results."""
+    from desamba_tpu.engine.fast_engine import FastClassifier
+    from desamba_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    cl_m = FastClassifier(golden_oracle_index, mesh=mesh)
+    cl_1 = FastClassifier(golden_oracle_index)
+    reads = _golden_reads(max_len=250)
+    rm = cl_m.classify_batch(reads)
+    r1 = cl_1.classify_batch(reads)
+    for a, b in zip(rm, r1):
+        assert (a.ref_ID, a.score, a.direction) == (b.ref_ID, b.score, b.direction)
