@@ -83,7 +83,7 @@ def cmd_classify(argv):
     ap.add_argument("-s", type=int, default=64, help="min score")
     ap.add_argument("-f", default="SAM", choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
     ap.add_argument("--engine", default="native",
-                    choices=["native", "oracle", "tpu", "sharded"])
+                    choices=["native", "oracle", "tpu", "sharded", "fast"])
     a = ap.parse_args(argv)
 
     import os
@@ -144,6 +144,24 @@ def cmd_classify(argv):
                 if len(batch) >= N_NEEDED:
                     flush()
             flush()
+    elif a.engine == "fast":
+        # device-resident throughput mode: taxonomic call per read, DES-style
+        # line output (no per-base alignment — use the exact engines for SAM)
+        from .engine.fast_engine import FastClassifier
+        from .index.format_ref import RefFormatIndex
+        from .oracle.classify import OracleIndex
+
+        idx = OracleIndex(RefFormatIndex(a.index_dir))
+        eng = FastClassifier(idx, min_score=a.s)
+        for path in a.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            reads = [(r.name, r.seq, r.qual) for r in read_fastx(path)]
+            total += len(reads)
+            for res in eng.classify_batch(reads):
+                ref = (idx.ref_names[res.ref_ID]
+                       if res.ref_ID >= 0 else "*")
+                out.write(f"{res.name}\t{ref}\t{res.direction}\t"
+                          f"{res.score}\t{res.read_len}\n")
     elif a.engine == "tpu":
         from .engine.tpu_engine import TpuClassifier
         from .index.format_ref import RefFormatIndex
@@ -200,7 +218,7 @@ def cmd_analysis(argv):
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: desamba-tpu {kmersort|index|classify|analysis} ...",
+        print("usage: desamba-tpu {kmersort|index|classify|analysis|fqx} ...",
               file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
@@ -212,6 +230,10 @@ def main(argv=None):
         return cmd_classify(rest)
     if cmd == "analysis":
         return cmd_analysis(rest)
+    if cmd == "fqx":
+        from .tools.fqx import main as fqx_main
+
+        return fqx_main(rest)
     print(f"unknown command [{cmd}]", file=sys.stderr)
     return 1
 
