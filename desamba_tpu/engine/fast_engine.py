@@ -1,14 +1,23 @@
 """Fully device-resident batched classifier ("fast mode").
 
-One jit'd dispatch per read batch runs the whole seed-match front end on
-TPU — the north-star pipeline (BASELINE.json): exist-filter probe
-(cly.c:1066-1155 analog), per-window top-seed selection (cly.c:1157-1229
-analog, ops/seeds.py), lockstep FM backward search from the 13-base hash
-head start (cly.c:1383-1442 analog, ops/fm.py), SA-sample resolution +
-unitig->reference mapping (cly.c:466-491 analog, ops/locate.py), and a
-diagonal-bucket Hough vote that replaces host chaining (cly.c:200-322
-analog): every anchor adds its match length to a (ref_ID, diagonal/128)
-bucket; the winning bucket per read is the classification.
+The north-star pipeline (BASELINE.json) as three device dispatches per
+read batch — results stay on device between stages; no host sync:
+
+  stage1  exist-filter probe + per-window top-seed selection
+          (cly.c:1066-1155 / cly.c:1157-1229 analogs; ops/ekmer.py,
+          ops/seeds.py)
+  stage2  lockstep FM backward search from the 13-base hash head start +
+          per-row walk extensions (cly.c:1383-1442 analog; ops/fm.py)
+  stage3  SA-sample resolution, unitig->reference mapping (cly.c:466-491
+          analog; ops/locate.py) and a diagonal-bucket Hough vote that
+          replaces host chaining (cly.c:200-322 analog): every anchor
+          adds its match length to a (ref_ID, diagonal/128) bucket; the
+          winning bucket per read is the classification.
+
+The three-way split is deliberate: fusing the whole pipeline into ONE jit
+sends XLA:TPU's scheduler into a pathological fusion (compile minutes,
+runtime 100x slower); as three programs each compiles in seconds and the
+batch runs in milliseconds.
 
 Unlike engine/tpu_engine.py (bit-exact hybrid, host replay), this path
 trades byte-identical SAM for throughput: results carry (ref, direction,
@@ -44,8 +53,8 @@ FM_EXT_CAP = 48  # cap the lockstep interval search depth; per-row walks
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache: the fused pipeline takes minutes to
-    compile per (W, B) bucket on TPU; cache across processes."""
+    """Persistent XLA compile cache so each (W, B) bucket compiles once
+    per machine, not once per process."""
     import jax
 
     d = os.path.expanduser("~/.cache/desamba_tpu_xla")
@@ -57,8 +66,12 @@ def _enable_compile_cache():
         pass  # older jax: cache simply not persisted
 
 
-def _build_pipeline(lek: int, sbm: int, mask_bits: int, min_match: int):
-    """Returns the jit-able batch pipeline closed over static ek params."""
+def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
+    """Returns (stage1, stage2, stage3) closed over static ek params.
+
+    Each stage is a separately jit-able function; chaining them keeps all
+    intermediates on device. stage3 takes B2 statically (strand split).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -67,12 +80,16 @@ def _build_pipeline(lek: int, sbm: int, mask_bits: int, min_match: int):
     from ..ops.locate import expand_refpos, resolve_rows
     from ..ops.seeds import top_seeds
 
-    def pipeline(fm, loc, w0, w1, codes2, lengths2):
+    def stage1(w0, w1, codes2, lengths2):
         """codes2: uint8[2B, W] (rows 0..B-1 fwd, B..2B-1 rc)."""
-        B2, W = codes2.shape
         ex = _probe_reads(w0, w1, codes2, lengths2, lek, sbm, mask_bits)
         lo26 = kmer_lo26(codes2, lek)
         kidx, runlen = top_seeds(ex, SEED_RANGE)  # [2B, n_win]
+        n_exist = ex.sum(axis=1).astype(jnp.int32)
+        return lo26, kidx, runlen, n_exist
+
+    def stage2(fm, codes_i, lengths2, lo26, kidx, runlen):
+        B2, W = codes_i.shape
         n_win = kidx.shape[1]
         S = B2 * n_win
         lane = jnp.repeat(jnp.arange(B2, dtype=jnp.int32), n_win)
@@ -83,7 +100,6 @@ def _build_pipeline(lek: int, sbm: int, mask_bits: int, min_match: int):
         pre = lo26[lane, sk]
         sp0 = jnp.where(seed_ok, fm.hash13[pre], 0)
         ep0 = jnp.where(seed_ok, fm.hash13[pre + 1], 0)
-        codes_i = codes2.astype(jnp.int32)
         res = interval_search(
             fm, codes_i, 0, s_idx, sp0, ep0,
             jnp.full(S, ROWS_PER_SEARCH, jnp.int32),
@@ -94,8 +110,7 @@ def _build_pipeline(lek: int, sbm: int, mask_bits: int, min_match: int):
         # status 1 (depth cap / read start reached) is a hit here too —
         # the per-row walk below keeps extending from the recorded interval
         srch_ok = seed_ok & (res["sp"] < res["ep"])
-        # per-row single-interval extension (bwt_single_search analog):
-        # up to ROWS_PER_SEARCH rows per search keep matching leftward
+        # per-row single-interval extension (bwt_single_search analog)
         R = ROWS_PER_SEARCH
         rowk = jnp.arange(R, dtype=jnp.int32)
         rows = (res["sp"][:, None] + rowk[None, :]).reshape(-1)
@@ -110,14 +125,17 @@ def _build_pipeline(lek: int, sbm: int, mask_bits: int, min_match: int):
                        lanes=lane_r, with_trace=False)
         total = jnp.repeat(ml0, R) + 1 + wr["steps"]  # full match length
         hit_r = rvalid & (total >= min_match) & ~wr["bad_char"]
-        loc_r = resolve_rows(fm, loc, wr["final_sp"], hit_r)
+        s_idx_r = jnp.repeat(s_idx, R)
+        return wr["final_sp"], hit_r, total, lane_r, s_idx_r
+
+    def stage3(fm, loc, final_sp, hit_r, total, lane_r, s_idx_r, B2: int):
+        loc_r = resolve_rows(fm, loc, final_sp, hit_r)
         ref, gpos, pvalid = expand_refpos(
             loc, loc_r["uni"], loc_r["u_off"], loc_r["ok"])  # [S*R, P]
         P = ref.shape[1]
         # per-anchor vote: weight = matched length, diag = g - read_leftmost
         lane_a = jnp.repeat(lane_r, P).reshape(-1)
         w_a = jnp.repeat(total, P).reshape(-1)
-        s_idx_r = jnp.repeat(s_idx, R)
         qleft = jnp.repeat(s_idx_r - total + 1, P)
         diag = (gpos.reshape(-1) - qleft) >> DIAG_SHIFT
         ref_f = ref.reshape(-1)
@@ -147,10 +165,9 @@ def _build_pipeline(lek: int, sbm: int, mask_bits: int, min_match: int):
             score=jnp.where(use_r, sc_r, sc_f),
             ref=jnp.where(use_r, rf_r, rf_f),
             direction=jnp.where(use_r, 0, 1),  # 1 = forward (cly.h FORWARD)
-            n_exist=ex.sum(axis=1)[:B] + ex.sum(axis=1)[B:],
         )
 
-    return pipeline
+    return stage1, stage2, stage3
 
 
 @dataclass
@@ -172,7 +189,6 @@ class FastClassifier:
     def __init__(self, oi, min_score: int = 30, mesh=None):
         _enable_compile_cache()
         import jax
-        import jax.numpy as jnp
 
         from ..index.tensor_index import from_oracle_index
         from ..ops.ekmer import EkArrays
@@ -185,9 +201,12 @@ class FastClassifier:
         self.ek = EkArrays(ti)
         self.loc = LocArrays(ti)
         self.min_score = min_score
-        self._pipe = jax.jit(_build_pipeline(
+        s1, s2, s3 = _build_stages(
             self.ek.lek, self.ek.single_base_max, self.ek.mask_bits,
-            min_match=20))
+            min_match=20)
+        self._s1 = jax.jit(s1)
+        self._s2 = jax.jit(s2)
+        self._s3 = jax.jit(s3, static_argnames=("B2",))
         self._code = np.full(256, 1, np.uint8)
         for j, b in enumerate(b"ACGT"):
             self._code[b] = j
@@ -195,31 +214,64 @@ class FastClassifier:
             self._code[b] = j
         self.mesh = mesh
         if mesh is not None:
-            self._shard_pipe(mesh)
+            self._shard_stages(mesh)
 
-    def _shard_pipe(self, mesh):
+    def _run(self, codes2, lengths2):
+        """Single-device 3-dispatch pipeline; intermediates stay on device."""
+        import jax.numpy as jnp
+
+        codes2 = jnp.asarray(codes2)
+        lengths2 = jnp.asarray(lengths2)
+        lo26, kidx, runlen, n_exist = self._s1(
+            self.ek.w0, self.ek.w1, codes2, lengths2)
+        codes_i = codes2.astype(jnp.int32)
+        fsp, hit, tot, lane_r, s_idx_r = self._s2(
+            self.fm, codes_i, lengths2, lo26, kidx, runlen)
+        out = self._s3(self.fm, self.loc, fsp, hit, tot, lane_r, s_idx_r,
+                       B2=codes2.shape[0])
+        B = codes2.shape[0] // 2
+        out["n_exist"] = n_exist[:B] + n_exist[B:]
+        return out
+
+    def _shard_stages(self, mesh):
         """Data-parallel variant: reads sharded over 'data', index
-        replicated (SURVEY.md section 2.2)."""
+        replicated (SURVEY.md section 2.2). Each stage is its own
+        jit(shard_map(...)); per-shard rows carry [fwd_i; rc_i] pairs so
+        the strand split at local B2//2 stays shard-local."""
         import jax
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        pipe = _build_pipeline(self.ek.lek, self.ek.single_base_max,
-                               self.ek.mask_bits, min_match=20)
+        s1, s2, s3 = _build_stages(self.ek.lek, self.ek.single_base_max,
+                                   self.ek.mask_bits, min_match=20)
         fm_specs = jax.tree_util.tree_map(lambda _: P(), self.fm)
         loc_specs = jax.tree_util.tree_map(lambda _: P(), self.loc)
-        out_spec = dict(score=P("data"), ref=P("data"),
-                        direction=P("data"), n_exist=P("data"))
+        self._sm1 = jax.jit(shard_map(
+            s1, mesh=mesh, in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data"), P("data")),
+            check_vma=False))
+        self._sm2 = jax.jit(shard_map(
+            s2, mesh=mesh,
+            in_specs=(fm_specs, P("data"), P("data"), P("data"), P("data"),
+                      P("data")),
+            out_specs=(P("data"), P("data"), P("data"), P("data"),
+                       P("data")),
+            check_vma=False))
 
-        def wrapped(fm, loc, w0, w1, codes2, lengths2):
-            # codes2 sharded on rows: both strands of a read must live on
-            # the same shard, so the caller interleaves [fwd_i; rc_i] pairs
-            return pipe(fm, loc, w0, w1, codes2, lengths2)
+        sm3_cache: dict[int, object] = {}
 
-        # NOTE: the plain pipeline splits strands at B2//2, which breaks
-        # under row sharding; the mesh path instead runs the pipeline
-        # per-shard on interleave-free sub-batches via data sharding of
-        # whole reads (fwd rows then rc rows within each shard).
+        def sm3(B2l: int):
+            if B2l not in sm3_cache:
+                sm3_cache[B2l] = jax.jit(shard_map(
+                    partial(s3, B2=B2l), mesh=mesh,
+                    in_specs=(fm_specs, loc_specs, P("data"), P("data"),
+                              P("data"), P("data"), P("data")),
+                    out_specs=dict(score=P("data"), ref=P("data"),
+                                   direction=P("data")),
+                    check_vma=False))
+            return sm3_cache[B2l]
+
+        self._sm3 = sm3
         self._smesh = mesh
         repl = NamedSharding(mesh, P())
         self._fm_r = jax.tree_util.tree_map(
@@ -228,10 +280,25 @@ class FastClassifier:
             partial(jax.device_put, device=repl), self.loc)
         self._w0_r = jax.device_put(self.ek.w0, repl)
         self._w1_r = jax.device_put(self.ek.w1, repl)
-        self._spipe = jax.jit(shard_map(
-            wrapped, mesh=mesh,
-            in_specs=(fm_specs, loc_specs, P(), P(), P("data"), P("data")),
-            out_specs=out_spec, check_vma=False))
+
+    def _run_mesh(self, codes2, lengths2):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(self.mesh, P("data"))
+        codes2 = jax.device_put(codes2, data)
+        lengths2 = jax.device_put(lengths2, data)
+        lo26, kidx, runlen, n_exist = self._sm1(
+            self._w0_r, self._w1_r, codes2, lengths2)
+        codes_i = codes2.astype(jnp.int32)
+        fsp, hit, tot, lane_r, s_idx_r = self._sm2(
+            self._fm_r, codes_i, lengths2, lo26, kidx, runlen)
+        n_data = self.mesh.shape["data"]
+        B2l = codes2.shape[0] // n_data
+        out = self._sm3(B2l)(self._fm_r, self._loc_r, fsp, hit, tot,
+                             lane_r, s_idx_r)
+        return out, np.asarray(n_exist)
 
     # ------------------------------------------------------------ encode --
     def _encode(self, reads):
@@ -259,8 +326,6 @@ class FastClassifier:
         return out
 
     def _classify_chunk(self, reads):
-        import jax
-
         codes2, lengths2, lens = self._encode(reads)
         B = len(reads)
         Bp = codes2.shape[0] // 2
@@ -275,19 +340,12 @@ class FastClassifier:
                 order.extend(range(k * per, (k + 1) * per))
                 order.extend(range(Bp + k * per, Bp + (k + 1) * per))
             order = np.array(order)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            data = NamedSharding(self.mesh, P("data"))
-            res = self._spipe(
-                self._fm_r, self._loc_r, self._w0_r, self._w1_r,
-                jax.device_put(codes2[order], data),
-                jax.device_put(lengths2[order], data))
-            # per-shard outputs are [per] reads each, concatenated in shard
-            # order == original read order
+            res, _ = self._run_mesh(codes2[order], lengths2[order])
+            # each shard emits its local B2//2 = per read results, in
+            # shard order == original read order
             res = {k: np.asarray(v)[:B] for k, v in res.items()}
         else:
-            res = self._pipe(self.fm, self.loc, self.ek.w0, self.ek.w1,
-                             codes2, lengths2)
+            res = self._run(codes2, lengths2)
             res = {k: np.asarray(v)[:B] for k, v in res.items()}
         out = []
         for i, (name, seq, qual) in enumerate(reads):
