@@ -1,6 +1,6 @@
 """Fully device-resident batched classifier ("fast mode").
 
-The north-star pipeline (BASELINE.json) as three device dispatches per
+The north-star pipeline (BASELINE.json) as four device dispatches per
 read batch — results stay on device between stages; no host sync:
 
   stage1  exist-filter probe + per-window top-seed selection
@@ -9,21 +9,31 @@ read batch — results stay on device between stages; no host sync:
   stage2  lockstep FM backward search from the 13-base hash head start +
           per-row walk extensions (cly.c:1383-1442 analog; ops/fm.py)
   stage3  SA-sample resolution, unitig->reference mapping (cly.c:466-491
-          analog; ops/locate.py) and a diagonal-bucket Hough vote that
-          replaces host chaining (cly.c:200-322 analog): every anchor
-          adds its match length to a (ref_ID, diagonal/128) bucket; the
-          winning bucket per read is the classification.
+          analog; ops/locate.py) and an EXACT windowed diagonal vote
+          replacing host chaining (cly.c:200-322 analog): every anchor i
+          scores sum_j w_j over anchors j with the same ref and
+          |diag_i - diag_j| <= tol — a Hough vote with a window centered
+          at each anchor, so no bucket-boundary splits and no hash
+          collisions. Emits the top-2 distinct-ref candidates per strand.
+  stage4  device rescoring of the candidates (get_score_M2 analog,
+          cly.c:2816-2844): gather each candidate's diagonal-band
+          reference window (ops/refwin.py) and run the banded match-block
+          kernel (ops/matchblock.band_score_*) — the final score counts
+          read positions starting a >= 9 bp exact match in the band,
+          i.e. sum over band MEMs of (len - 8): the same unit the
+          reference SDP accumulates into sum_score (cly.c:2330-2435).
 
-The three-way split is deliberate: fusing the whole pipeline into ONE jit
-sends XLA:TPU's scheduler into a pathological fusion (compile minutes,
-runtime 100x slower); as three programs each compiles in seconds and the
-batch runs in milliseconds.
+The multi-dispatch split is deliberate: fusing the whole pipeline into
+ONE jit sends XLA:TPU's scheduler into a pathological fusion (compile
+minutes, runtime 100x slower); as separate programs each compiles in
+seconds and the batch runs in milliseconds.
 
 Unlike engine/tpu_engine.py (bit-exact hybrid, host replay), this path
 trades byte-identical SAM for throughput: results carry (ref, direction,
-approx position, vote score) per read and are validated by agreement with
-the reference's primary assignments (tests/test_fast_engine.py). This is
-the deployment path for abundance workloads where the taxonomic call, not
+position, score) per read and are validated by agreement with the
+reference's primary assignments on the full golden set including
+1-2.8 kb 12-18%-error reads (tests/test_fast_engine.py). This is the
+deployment path for abundance workloads where the taxonomic call, not
 the SAM record, is the product.
 """
 from __future__ import annotations
@@ -34,7 +44,15 @@ from functools import partial
 
 import numpy as np
 
-from ..constants import SEED_RANGE
+from ..constants import (
+    DEFAULT_FILTER_MIN_LENGTH,
+    DEFAULT_MIN_SCORE,
+    FILTER_MIN_SCORE_2G,
+    FILTER_MIN_SCORE_SHORT_3G,
+    NGS_MAX_READ_L,
+    SEED_RANGE,
+    SHORT_3G_READ_L,
+)
 
 
 def _pow2(n: int, lo: int = 64) -> int:
@@ -44,12 +62,21 @@ def _pow2(n: int, lo: int = 64) -> int:
     return v
 
 
-N_BUCKETS = 128  # diagonal-vote buckets per read-direction
-DIAG_SHIFT = 7   # 128 bp diagonal tolerance (chain gap < 400, cly.c:212)
 ROWS_PER_SEARCH = 2  # MEM_SEARCH_FAST (cly.c:1471)
 FM_EXT_CAP = 48  # cap the lockstep interval search depth; per-row walks
                  # (fixed 96-step scan) carry matches further — bounds the
                  # while-loop straggler cost of one long-matching lane
+REFPOS_PER_ANCHOR = 4   # occurrences expanded per anchor (cap; cly.c:842
+                        # allows 50 — beyond 4 the vote rarely changes)
+VOTE_TILE = 64          # anchors per pairwise-vote scan step
+N_CAND = 3              # candidates per strand (top / far-diag / other-ref)
+
+
+def _band(W: int) -> int:
+    """Half-width of the stage-4 diagonal band. Indel diagonal drift is a
+    random walk with per-base variance ~2*err/3; at 18% error and 4 kb this
+    is sigma~22, so W>>5 (128 at 4 kb) covers >5 sigma."""
+    return min(128, max(32, W >> 5))
 
 
 def _enable_compile_cache():
@@ -67,17 +94,17 @@ def _enable_compile_cache():
 
 
 def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
-    """Returns (stage1, stage2, stage3) closed over static ek params.
-
-    Each stage is a separately jit-able function; chaining them keeps all
-    intermediates on device. stage3 takes B2 statically (strand split).
-    """
+    """Returns (stage1, stage2, stage3, stage4) closed over static ek
+    params. Each stage is separately jit-able; chaining them keeps all
+    intermediates on device."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.ekmer import _probe_reads, kmer_lo26
     from ..ops.fm import interval_search, row_walks
     from ..ops.locate import expand_refpos, resolve_rows
+    from ..ops.matchblock import band_score_jnp
+    from ..ops.refwin import gather_windows
     from ..ops.seeds import top_seeds
 
     def stage1(w0, w1, codes2, lengths2):
@@ -128,46 +155,119 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         s_idx_r = jnp.repeat(s_idx, R)
         return wr["final_sp"], hit_r, total, lane_r, s_idx_r
 
-    def stage3(fm, loc, final_sp, hit_r, total, lane_r, s_idx_r, B2: int):
+    def stage3(fm, loc, lengths2, final_sp, hit_r, total, s_idx_r, B2: int):
+        """Anchor resolution + exact windowed diagonal vote. Rows arrive
+        lane-major ((b*n_win + w)*R + r), so [B2, A] reshapes are direct."""
         loc_r = resolve_rows(fm, loc, final_sp, hit_r)
         ref, gpos, pvalid = expand_refpos(
-            loc, loc_r["uni"], loc_r["u_off"], loc_r["ok"])  # [S*R, P]
+            loc, loc_r["uni"], loc_r["u_off"], loc_r["ok"],
+            P=REFPOS_PER_ANCHOR)  # [S*R, P]
         P = ref.shape[1]
-        # per-anchor vote: weight = matched length, diag = g - read_leftmost
-        lane_a = jnp.repeat(lane_r, P).reshape(-1)
-        w_a = jnp.repeat(total, P).reshape(-1)
-        qleft = jnp.repeat(s_idx_r - total + 1, P)
-        diag = (gpos.reshape(-1) - qleft) >> DIAG_SHIFT
-        ref_f = ref.reshape(-1)
-        ok_a = pvalid.reshape(-1)
-        key = ((ref_f.astype(jnp.uint32) * jnp.uint32(2654435761)) ^
-               (diag.astype(jnp.uint32) * jnp.uint32(40503))) % jnp.uint32(
-                   N_BUCKETS)
-        key = key.astype(jnp.int32)
-        w_a = jnp.where(ok_a, w_a, 0)
-        vsum = jnp.zeros((B2, N_BUCKETS), jnp.int32).at[
-            lane_a, key].add(w_a)
-        packed = jnp.where(ok_a, w_a * 65536 + jnp.clip(ref_f, 0, 65535), -1)
-        vbest = jnp.full((B2, N_BUCKETS), -1, jnp.int32).at[
-            lane_a, key].max(packed)
-        # winning bucket per direction-row
-        bb = jnp.argmax(vsum, axis=1)
+        A = (final_sp.shape[0] * P) // B2
+        qleft = (s_idx_r - total + 1)[:, None]
+        ref_a = jnp.where(pvalid, ref, -1).reshape(B2, A)
+        diag_a = (gpos - qleft).reshape(B2, A)
+        w_a = jnp.where(pvalid, total[:, None], 0).reshape(B2, A)
+        tol = jnp.clip(lengths2 >> 4, 30, 160)[:, None, None]  # per lane
+
+        # pairwise windowed vote, scanned over j-tiles to bound memory:
+        # score[b, i] = sum_j w[b, j] * [ref eq & |diag diff| <= tol]
+        Ap = -(-A // VOTE_TILE) * VOTE_TILE
+        refp = jnp.pad(ref_a, ((0, 0), (0, Ap - A)), constant_values=-2)
+        diagp = jnp.pad(diag_a, ((0, 0), (0, Ap - A)))
+        wp = jnp.pad(w_a, ((0, 0), (0, Ap - A)))
+
+        def vstep(score, j0):
+            rj = jax.lax.dynamic_slice(refp, (0, j0), (B2, VOTE_TILE))
+            dj = jax.lax.dynamic_slice(diagp, (0, j0), (B2, VOTE_TILE))
+            wj = jax.lax.dynamic_slice(wp, (0, j0), (B2, VOTE_TILE))
+            same = (ref_a[:, :, None] == rj[:, None, :]) & (
+                jnp.abs(diag_a[:, :, None] - dj[:, None, :]) <= tol)
+            return score + (same * wj[:, None, :]).sum(axis=2,
+                                                       dtype=jnp.int32), None
+
+        score0 = jnp.zeros((B2, A), jnp.int32)
+        j0s = jnp.arange(0, Ap, VOTE_TILE, dtype=jnp.int32)
+        score, _ = jax.lax.scan(vstep, score0, j0s)
+        score = jnp.where(ref_a >= 0, score, -1)
+
         rows_i = jnp.arange(B2, dtype=jnp.int32)
-        score2 = vsum[rows_i, bb]
-        ref2 = jnp.where(vbest[rows_i, bb] >= 0,
-                         vbest[rows_i, bb] % 65536, -1)
-        # combine the two strands of each read
+
+        def take(sc):
+            i1 = jnp.argmax(sc, axis=1)
+            v1 = sc[rows_i, i1]
+            r1 = jnp.where(v1 > 0, ref_a[rows_i, i1], -1)
+            return r1, diag_a[rows_i, i1], jnp.maximum(v1, 0)
+
+        # three candidates per strand: the winner; the best on a FAR
+        # diagonal (another chain of a boundary-spanning read — the
+        # reference keeps these as separate chains, cly.c:200-223); the
+        # best with a DIFFERENT ref (the runner-up genome the rescore
+        # must adjudicate, delete_small_score_rst's cross-ref compare)
+        r1, d1, v1 = take(score)
+        far = (ref_a != r1[:, None]) | (
+            jnp.abs(diag_a - d1[:, None]) > 2 * tol[:, :, 0])
+        r2, d2, v2 = take(jnp.where(far, score, -1))
+        r3, d3, v3 = take(jnp.where(ref_a != r1[:, None], score, -1))
+        ref_c = jnp.stack([r1, r2, r3], axis=1)   # [B2, N_CAND]
+        diag_c = jnp.stack([d1, d2, d3], axis=1)
+        vote_c = jnp.stack([v1, v2, v3], axis=1)
+        return ref_c, diag_c, vote_c
+
+    def stage4(ra, codes_i, lengths2, ref_c, diag_c, vote_c, B2: int,
+               K: int):
+        """Banded rescore of every candidate; strand+candidate combine."""
+        W = codes_i.shape[1]
+        C = ref_c.shape[1]
+        band = K // 2
+        ref_f = ref_c.reshape(-1)          # [B2*C]
+        diag_f = diag_c.reshape(-1)
+        lane_f = jnp.repeat(jnp.arange(B2, dtype=jnp.int32), C)
+        win = gather_windows(ra, ref_f, diag_f - band, W + K - 1)
+        bs = band_score_jnp(codes_i[lane_f], lengths2[lane_f], win, K=K)
         B = B2 // 2
-        sc_f, sc_r = score2[:B], score2[B:]
-        rf_f, rf_r = ref2[:B], ref2[B:]
-        use_r = sc_r > sc_f
+
+        def fold(x):  # [B2, C] -> [B, 2C]: fwd candidates then rc
+            return jnp.concatenate([x[:B], x[B:]], axis=1)
+
+        score4 = fold(bs["score"].reshape(B2, C))
+        q_st = fold(bs["q_st"].reshape(B2, C))
+        q_ed = fold(bs["q_ed"].reshape(B2, C))
+        ref2 = fold(ref_c)
+        diag2 = fold(diag_c)
+        score4 = jnp.where(ref2 >= 0, score4, -1)
+        # the reference's tie order: final sort is chain_cmp_by_MEM_score
+        # after the pos sort (ascending ref_ID); on equal scores it returns
+        # sum_score % 2 (cly.c:62) — under glibc's stable mergesort an ODD
+        # score reverses tied runs (highest ref_ID first), an EVEN score
+        # keeps them (lowest ref_ID first). Reproduced exactly.
+        s_max = score4.max(axis=1)
+        odd = (s_max & 1) == 1
+        at_max = score4 == s_max[:, None]
+        NREF = ra.ref_offset.shape[0]
+        r_hi = jnp.where(at_max, ref2, -1).max(axis=1)
+        r_lo = jnp.where(at_max, ref2, NREF + 1).min(axis=1)
+        r_best = jnp.where(odd, r_hi, r_lo)
+        chosen = at_max & (ref2 == r_best[:, None])
+        cb = jnp.argmax(chosen, axis=1)  # first matching candidate
+        rows_b = jnp.arange(B, dtype=jnp.int32)
+        ref_b = jnp.where(s_max > 0, ref2[rows_b, cb], -1)
+        rc = jnp.clip(ref_b, 0, NREF - 1)
+        pos = diag2[rows_b, cb] + q_st[rows_b, cb] - ra.ref_offset[rc]
+        # cross-ref runner-up score: how close the best OTHER genome came
+        # (drives the speculative exact-replay of ambiguous reads)
+        other = (ref2 != ref_b[:, None]) & (ref2 >= 0)
+        score_alt = jnp.where(other, score4, -1).max(axis=1)
         return dict(
-            score=jnp.where(use_r, sc_r, sc_f),
-            ref=jnp.where(use_r, rf_r, rf_f),
-            direction=jnp.where(use_r, 0, 1),  # 1 = forward (cly.h FORWARD)
+            score=jnp.maximum(s_max, 0),
+            ref=ref_b,
+            direction=jnp.where(cb >= C, 0, 1),  # 1 = forward (cly.h)
+            cov=jnp.maximum(q_ed[rows_b, cb] - q_st[rows_b, cb], 0),
+            pos=jnp.where(ref_b >= 0, pos, -1),
+            score_alt=jnp.maximum(score_alt, 0),
         )
 
-    return stage1, stage2, stage3
+    return stage1, stage2, stage3, stage4
 
 
 @dataclass
@@ -175,18 +275,52 @@ class FastResult:
     name: str
     ref_ID: int      # -1 = unclassified
     direction: int
-    score: int
+    score: int       # band-MEM score (reference sum_score scale)
     read_len: int
+    pos: int = -1    # 0-based position in the reference (approximate)
+
+
+def _score_threshold(read_len: int, filter_min_score: int,
+                     filter_min_length: int) -> tuple[int, int]:
+    """Per-read analog of the reference's final filter ladder
+    (delete_small_score_rst, cly.c:2955-2981): returns (thr, long_thr)
+    where a read is kept if score' >= thr, or — for long reads — if
+    score' >= filter_min_score and coverage >= filter_min_length
+    (score' = sum_score + (cov >> 5))."""
+    if read_len < SHORT_3G_READ_L:
+        return FILTER_MIN_SCORE_SHORT_3G, 0
+    if read_len < NGS_MAX_READ_L:
+        return FILTER_MIN_SCORE_2G, 0
+    return filter_min_score + 10, filter_min_score
+
+
+AMB_MARGIN = 8       # cross-ref score gap below which a read is replayed
+                     # (the reference merges chains within +5 of each other,
+                     # cly.c:2913-2952, so gaps this small are tie-order
+                     # territory the approximate score cannot adjudicate)
+AMB_MIN_EXIST = 3    # unclassified reads with >= this many exist-kmers get
+                     # a replay (the reference's slow path may still anchor
+                     # them, cly.c:3098-3122)
 
 
 class FastClassifier:
     """Resident-index batched TPU classifier (throughput mode).
 
-    min_score gates classification like the reference's final filter
-    (delete_small_score_rst thresholds, cly.c:2955-2981) but on vote mass.
-    """
+    Classification is gated by the reference's final-filter thresholds
+    (delete_small_score_rst, cly.c:2955-2981) applied to the stage-4
+    band-MEM score, which lands on the same sum_score scale.
 
-    def __init__(self, oi, min_score: int = 30, mesh=None):
+    With exact_fallback=True (default), reads the device pipeline cannot
+    call unambiguously — near-tied cross-genome scores, threshold-border
+    scores, or exist-kmer seeds that produced no anchors — are replayed
+    through the bit-exact native engine (the same speculate-then-verify
+    split the reference uses between fast_classify and slow_classify,
+    cly.c:3098-3122). The replay fraction is tracked in .stats."""
+
+    def __init__(self, oi, min_score: int = DEFAULT_MIN_SCORE,
+                 filter_min_length: int = DEFAULT_FILTER_MIN_LENGTH,
+                 mesh=None, exact_fallback: bool = True,
+                 fallback_threads: int | None = None):
         _enable_compile_cache()
         import jax
 
@@ -194,19 +328,23 @@ class FastClassifier:
         from ..ops.ekmer import EkArrays
         from ..ops.fm import FmArrays
         from ..ops.locate import LocArrays
+        from ..ops.refwin import RefArrays
 
         self.oi = oi
         ti = from_oracle_index(oi)
         self.fm = FmArrays(ti)
         self.ek = EkArrays(ti)
         self.loc = LocArrays(ti)
+        self.ra = RefArrays(ti)
         self.min_score = min_score
-        s1, s2, s3 = _build_stages(
+        self.filter_min_length = filter_min_length
+        s1, s2, s3, s4 = _build_stages(
             self.ek.lek, self.ek.single_base_max, self.ek.mask_bits,
             min_match=20)
         self._s1 = jax.jit(s1)
         self._s2 = jax.jit(s2)
         self._s3 = jax.jit(s3, static_argnames=("B2",))
+        self._s4 = jax.jit(s4, static_argnames=("B2", "K"))
         self._code = np.full(256, 1, np.uint8)
         for j, b in enumerate(b"ACGT"):
             self._code[b] = j
@@ -215,9 +353,14 @@ class FastClassifier:
         self.mesh = mesh
         if mesh is not None:
             self._shard_stages(mesh)
+        self.exact_fallback = exact_fallback
+        self._fallback_threads = fallback_threads or min(
+            8, os.cpu_count() or 1)
+        self._native = None  # built lazily on first ambiguous read
+        self.stats = dict(n_reads=0, n_fallback=0)
 
     def _run(self, codes2, lengths2):
-        """Single-device 3-dispatch pipeline; intermediates stay on device."""
+        """Single-device 4-dispatch pipeline; intermediates stay on device."""
         import jax.numpy as jnp
 
         codes2 = jnp.asarray(codes2)
@@ -227,9 +370,13 @@ class FastClassifier:
         codes_i = codes2.astype(jnp.int32)
         fsp, hit, tot, lane_r, s_idx_r = self._s2(
             self.fm, codes_i, lengths2, lo26, kidx, runlen)
-        out = self._s3(self.fm, self.loc, fsp, hit, tot, lane_r, s_idx_r,
-                       B2=codes2.shape[0])
-        B = codes2.shape[0] // 2
+        B2 = codes2.shape[0]
+        ref_c, diag_c, vote_c = self._s3(
+            self.fm, self.loc, lengths2, fsp, hit, tot, s_idx_r, B2=B2)
+        W = codes2.shape[1]
+        out = self._s4(self.ra, codes_i, lengths2, ref_c, diag_c, vote_c,
+                       B2=B2, K=2 * _band(W))
+        B = B2 // 2
         out["n_exist"] = n_exist[:B] + n_exist[B:]
         return out
 
@@ -242,10 +389,11 @@ class FastClassifier:
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        s1, s2, s3 = _build_stages(self.ek.lek, self.ek.single_base_max,
-                                   self.ek.mask_bits, min_match=20)
+        s1, s2, s3, s4 = _build_stages(self.ek.lek, self.ek.single_base_max,
+                                       self.ek.mask_bits, min_match=20)
         fm_specs = jax.tree_util.tree_map(lambda _: P(), self.fm)
         loc_specs = jax.tree_util.tree_map(lambda _: P(), self.loc)
+        ra_specs = jax.tree_util.tree_map(lambda _: P(), self.ra)
         self._sm1 = jax.jit(shard_map(
             s1, mesh=mesh, in_specs=(P(), P(), P("data"), P("data")),
             out_specs=(P("data"), P("data"), P("data"), P("data")),
@@ -258,26 +406,42 @@ class FastClassifier:
                        P("data")),
             check_vma=False))
 
-        sm3_cache: dict[int, object] = {}
+        sm34_cache: dict = {}
 
         def sm3(B2l: int):
-            if B2l not in sm3_cache:
-                sm3_cache[B2l] = jax.jit(shard_map(
+            key = ("s3", B2l)
+            if key not in sm34_cache:
+                sm34_cache[key] = jax.jit(shard_map(
                     partial(s3, B2=B2l), mesh=mesh,
                     in_specs=(fm_specs, loc_specs, P("data"), P("data"),
                               P("data"), P("data"), P("data")),
-                    out_specs=dict(score=P("data"), ref=P("data"),
-                                   direction=P("data")),
+                    out_specs=(P("data"), P("data"), P("data")),
                     check_vma=False))
-            return sm3_cache[B2l]
+            return sm34_cache[key]
+
+        def sm4(B2l: int, K: int):
+            key = ("s4", B2l, K)
+            if key not in sm34_cache:
+                sm34_cache[key] = jax.jit(shard_map(
+                    partial(s4, B2=B2l, K=K), mesh=mesh,
+                    in_specs=(ra_specs, P("data"), P("data"), P("data"),
+                              P("data"), P("data")),
+                    out_specs=dict(score=P("data"), ref=P("data"),
+                                   direction=P("data"), cov=P("data"),
+                                   pos=P("data"), score_alt=P("data")),
+                    check_vma=False))
+            return sm34_cache[key]
 
         self._sm3 = sm3
+        self._sm4 = sm4
         self._smesh = mesh
         repl = NamedSharding(mesh, P())
         self._fm_r = jax.tree_util.tree_map(
             partial(jax.device_put, device=repl), self.fm)
         self._loc_r = jax.tree_util.tree_map(
             partial(jax.device_put, device=repl), self.loc)
+        self._ra_r = jax.tree_util.tree_map(
+            partial(jax.device_put, device=repl), self.ra)
         self._w0_r = jax.device_put(self.ek.w0, repl)
         self._w1_r = jax.device_put(self.ek.w1, repl)
 
@@ -296,23 +460,32 @@ class FastClassifier:
             self._fm_r, codes_i, lengths2, lo26, kidx, runlen)
         n_data = self.mesh.shape["data"]
         B2l = codes2.shape[0] // n_data
-        out = self._sm3(B2l)(self._fm_r, self._loc_r, fsp, hit, tot,
-                             lane_r, s_idx_r)
+        ref_c, diag_c, vote_c = self._sm3(B2l)(
+            self._fm_r, self._loc_r, lengths2, fsp, hit, tot, s_idx_r)
+        W = codes2.shape[1]
+        out = self._sm4(B2l, 2 * _band(W))(
+            self._ra_r, codes_i, lengths2, ref_c, diag_c, vote_c)
         return out, np.asarray(n_exist)
 
     # ------------------------------------------------------------ encode --
     def _encode(self, reads):
-        """Encode into shape buckets (pow2 width AND row count) so batches
-        of any size reuse one compiled pipeline per bucket."""
+        """Vectorized encode into shape buckets (pow2 width AND row count)
+        so batches of any size reuse one compiled pipeline per bucket.
+        One byte-table lookup over the concatenated batch — no per-read
+        Python loop (the kt_pipeline step-0 analog must keep pace with the
+        device, VERDICT r1 weak #9)."""
         lens = np.array([len(r[1]) for r in reads], np.int32)
         W = _pow2(max(int(lens.max()), self.ek.lek + 2), 256)
         B = len(reads)
         Bp = _pow2(B, 8)
+        flat = self._code[np.frombuffer(
+            b"".join(r[1] for r in reads), np.uint8)]
+        row = np.repeat(np.arange(B, dtype=np.int64), lens)
+        col = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens[:-1], dtype=np.int64)]), lens)
         codes2 = np.zeros((2 * Bp, W), np.uint8)
-        for i, (_, seq, _) in enumerate(reads):
-            f = self._code[np.frombuffer(seq, np.uint8)]
-            codes2[i, : f.size] = f
-            codes2[Bp + i, : f.size] = (3 - f)[::-1]
+        codes2[row, col] = flat
+        codes2[Bp + row, lens[row] - 1 - col] = 3 - flat
         lengths2 = np.zeros(2 * Bp, np.int32)
         lengths2[:B] = lens
         lengths2[Bp : Bp + B] = lens
@@ -340,22 +513,75 @@ class FastClassifier:
                 order.extend(range(k * per, (k + 1) * per))
                 order.extend(range(Bp + k * per, Bp + (k + 1) * per))
             order = np.array(order)
-            res, _ = self._run_mesh(codes2[order], lengths2[order])
+            res, n_ex = self._run_mesh(codes2[order], lengths2[order])
             # each shard emits its local B2//2 = per read results, in
             # shard order == original read order
             res = {k: np.asarray(v)[:B] for k, v in res.items()}
+            n_orig = np.empty_like(n_ex)
+            n_orig[order] = n_ex
+            res["n_exist"] = n_orig[:B] + n_orig[Bp : Bp + B]
         else:
             res = self._run(codes2, lengths2)
             res = {k: np.asarray(v)[:B] for k, v in res.items()}
+        return self._format(reads, lens, res)
+
+    def _format(self, reads, lens, res):
         out = []
+        replay = []  # (out index, read)
+        self.stats["n_reads"] += len(reads)
         for i, (name, seq, qual) in enumerate(reads):
             sc = int(res["score"][i])
             rid = int(res["ref"][i])
-            ok = sc >= self.min_score and rid >= 0
+            rl = int(lens[i])
+            cov = int(res["cov"][i])
+            eff = sc + (cov >> 5)
+            thr, long_thr = _score_threshold(
+                rl, self.min_score, self.filter_min_length)
+            ok = rid >= 0 and (eff >= thr or (
+                long_thr and eff >= long_thr
+                and cov >= self.filter_min_length))
+            if self.exact_fallback:
+                ambiguous = (
+                    # another genome scored within tie-order distance
+                    (ok and sc - int(res["score_alt"][i]) <= AMB_MARGIN)
+                    # hovering at the filter threshold
+                    or (rid >= 0 and not ok and eff >= thr - AMB_MARGIN)
+                    # seeds existed but the fast front-end found no anchors
+                    or (rid < 0 and int(res["n_exist"][i]) >= AMB_MIN_EXIST)
+                )
+                if ambiguous:
+                    replay.append((i, (name, seq, qual)))
             out.append(FastResult(
                 name=name, ref_ID=rid if ok else -1,
                 direction=int(res["direction"][i]) if ok else 0,
-                score=sc, read_len=int(lens[i])))
+                score=sc, read_len=rl,
+                pos=int(res["pos"][i]) if ok else -1))
+        if replay:
+            self.stats["n_fallback"] += len(replay)
+            for (i, _), fr in zip(replay,
+                                  self._replay([r for _, r in replay])):
+                out[i] = fr
+        return out
+
+    def _replay(self, reads) -> list[FastResult]:
+        """Exact adjudication of ambiguous reads via the native engine
+        (bit-exact vs the reference binary, tests/test_native_engine.py)."""
+        if self._native is None:
+            from .native import NativeClassifier
+
+            self._native = NativeClassifier(
+                self.oi, n_threads=self._fallback_threads)
+        out = []
+        for rr in self._native.classify_batch(reads):
+            prim = next((h for h in rr.hits if h.primary == 1), None)
+            if prim is None:
+                out.append(FastResult(name=rr.name, ref_ID=-1, direction=0,
+                                      score=0, read_len=len(rr.seq)))
+            else:
+                out.append(FastResult(
+                    name=rr.name, ref_ID=prim.ref_ID,
+                    direction=prim.direction, score=prim.sum_score,
+                    read_len=len(rr.seq), pos=prim.t_st))
         return out
 
     # ------------------------------------------------------------- report --

@@ -1,26 +1,31 @@
-"""The sparse approximate-match-block kernel.
+"""The sparse approximate-match-block kernels.
 
-This is the TPU-native replacement for the reference's sdp_match scan
-(cly.c:2330-2435): for each (chain, reference-window) pair, find the
-seeded 9-mer matches between the target window and the read, with the
-left/right maximal-exact-match extension lengths, entirely on device.
+TPU-native replacements for the reference's sdp_match scan
+(cly.c:2330-2435) and the get_score_M2 rescoring driver (cly.c:2816-2844):
+find the seeded 9-mer matches between a reference window and the read,
+with maximal-exact-match extension lengths, entirely on device.
 
-Formulation: a dense char-equality block E[t, q] = (target[t] == read[q])
-per (window, read) pair; 9-mer seed hits are diagonal runs of length >= 9
-starting at probed positions (every 4th window offset); extension lengths
-are diagonal run lengths, computed with a doubling log-step scan. One
-fused kernel turns the reference's per-probe hash chases into regular
-VPU work over [T, Q] blocks.
+Two formulations:
 
-Two implementations:
-  * matchblock_jnp  — jax.numpy (portable, used for verification)
-  * matchblock_pallas — Pallas TPU kernel tiling Q into lanes
+1. Full block (matchblock_jnp / matchblock_pallas): a dense char-equality
+   block E[t, q] = (target[t] == read[q]) per (window, read) pair; 9-mer
+   seed hits are diagonal runs of length >= 9; extension lengths are
+   diagonal run lengths via a doubling log-step scan. General — any
+   (t, q) geometry — but O(T*Q) per pair.
 
-Both return, per probe offset i (i % 4 == 0, i >= 4) and read position q:
-  hit[i//4, q]   — 9-mer at window offset i equals read 9-mer at q
-  run_left / run_right — maximal equal-run lengths around each (t, q)
+2. Diagonal band (band_score_jnp / band_score_pallas): the production
+   rescoring stage. In band coordinates (q, k) with k = t - q - k0, a
+   DIAGONAL of the alignment matrix is a COLUMN, so MEM run lengths are
+   consecutive-ones scans along q — one pass over [B, W, K] instead of
+   doubling over [T, Q]. score[b] counts read positions that start a
+   >= 9 bp exact match inside the band: exactly sum over band MEMs of
+   (len - S_A_KMER_L + 1), the unit the reference's SDP accumulates
+   (sms 'len' fields, cly.c:2330-2435, summed by the DP at
+   cly.c:2480-2520) — so scores land on the reference sum_score scale.
+
 The host (or later stages on device) applies the reference's q-window
-filters and SDP in exact order.
+filters and SDP in exact order when bit-exactness is needed; the fast
+engine consumes band_score_* directly (engine/fast_engine.py stage 4).
 """
 from __future__ import annotations
 
@@ -163,3 +168,67 @@ def matchblock_pallas(target, tmask, read, rmask, vmem_cap: int = 1 << 21):
     )
     hit, rr, rl = out
     return hit[:T, :Q] != 0, rr[:T, :Q], rl[:T, :Q]
+
+
+# ---------------------------------------------------------- banded ----
+def _band_combine(a, b):
+    """Associative op for consecutive-ones run lengths: combining segment
+    a (left) then b (right) gives (b.count + b.all_ones * a.count,
+    a.all_ones & b.all_ones)."""
+    ca, aa = a
+    cb, ab = b
+    return cb + ab * ca, aa * ab
+
+
+@partial(jax.jit, static_argnames=("K", "q_block"))
+def band_score_jnp(read, rlen, win, K: int, q_block: int = 128):
+    """Banded match-block score (the device get_score_M2 analog).
+
+    read: int32[B, W] codes (0..3; pad rows are masked via rlen);
+    rlen: int32[B]; win: int32[B, W + K - 1] reference codes where
+    win[b, q + k] is the candidate diagonal-band position for read
+    position q at band offset k (255 = outside the genome, never equal).
+
+    Returns dict:
+      score: int32[B]  — # read positions starting a >= 9 exact match in
+             the band == sum over band MEMs of (len - 8); the reference
+             sum_score scale (see module docstring)
+      q_st/q_ed: int32[B] first/last read position covered (W / -1 when
+             score == 0)
+    """
+    B, W = read.shape
+    assert W % q_block == 0, (W, q_block)
+    i32 = jnp.int32
+    kk = jnp.arange(K, dtype=i32)[None, :]
+    qq = jnp.arange(q_block, dtype=i32)[None, :]
+    SAK = 9  # S_A_KMER_L
+
+    def step(carry, q0):
+        run_in, score, q_st, q_ed = carry
+        rb = jax.lax.dynamic_slice(read, (0, q0), (B, q_block))
+        wb = jax.lax.dynamic_slice(win, (0, q0), (B, q_block + K - 1))
+        qv = (q0 + qq) < rlen[:, None]
+        # eq[b, t, k] = read[b, q0+t] == win[b, q0+t+k], read pos valid
+        gi = jnp.arange(q_block, dtype=i32)[:, None] + kk  # [Qb, K]
+        wgk = wb[:, gi]  # [B, Qb, K]
+        eq = ((rb[:, :, None] == wgk) & qv[:, :, None]).astype(jnp.int32)
+        cnt, allones = jax.lax.associative_scan(
+            _band_combine, (eq, eq), axis=1)
+        # inject the carried run length (capped at SAK: only >= 9 matters)
+        run = cnt + allones * jnp.minimum(run_in, SAK)[:, None, :]
+        hit_any = (run >= SAK).any(axis=2)  # [B, Qb]
+        score = score + hit_any.sum(axis=1, dtype=i32)
+        qpos = q0 + qq
+        q_st = jnp.minimum(q_st, jnp.where(hit_any, qpos, W).min(axis=1))
+        q_ed = jnp.maximum(q_ed, jnp.where(hit_any, qpos, -1).max(axis=1))
+        return (run[:, -1, :], score, q_st, q_ed), None
+
+    init = (
+        jnp.zeros((B, K), i32),
+        jnp.zeros((B,), i32),
+        jnp.full((B,), W, i32),
+        jnp.full((B,), -1, i32),
+    )
+    q0s = jnp.arange(0, W, q_block, dtype=i32)
+    (run, score, q_st, q_ed), _ = jax.lax.scan(step, init, q0s)
+    return dict(score=score, q_st=q_st, q_ed=q_ed)

@@ -1,0 +1,68 @@
+"""Device-side 2-bit reference window gathers.
+
+The TPU analog of get_ref (cly.c:434-461): the M2 rescorer streams <=600 bp
+reference windows per chain (sdp_right/left, cly.c:2573,2717); on device the
+whole 2-bit packed reference lives in HBM (it IS the index's ref_bin,
+idx.c:594-603) and each candidate gathers its diagonal-band window with one
+vectorized byte gather + shift.
+
+Packing contract (matches the reference and oracle.get_ref): 4 codes per
+byte, MSB-first — code(i) = (ref_bin[i>>2] >> (6 - 2*(i&3))) & 3.
+Out-of-range / out-of-genome positions return 255 (unmatchable), modeling
+the reference's behavior of never scoring past the genome under the chain's
+ref_ID (window clamps in sdp_right_M2, cly.c:2560-2573).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RefArrays:
+    """Device-resident packed reference + per-genome extents (a jax pytree)."""
+
+    def __init__(self, ti=None, device=None, _from=None):
+        if _from is not None:
+            (self.ref_bytes, self.ref_offset, self.ref_len), () = _from
+            return
+        put = partial(jax.device_put, device=device)
+        if np.asarray(ti.ref_offset).max(initial=0) + np.asarray(
+                ti.ref_len).max(initial=0) >= 2**31:
+            raise NotImplementedError(
+                "reference > 2^31 bp per shard; shard the index "
+                "(parallel/shard_index.py)")
+        self.ref_bytes = put(jnp.asarray(ti.ref_bin, dtype=jnp.uint8))
+        self.ref_offset = put(jnp.asarray(ti.ref_offset, dtype=jnp.int32))
+        self.ref_len = put(jnp.asarray(ti.ref_len, dtype=jnp.int32))
+
+
+jax.tree_util.register_pytree_node(
+    RefArrays,
+    lambda ra: ((ra.ref_bytes, ra.ref_offset, ra.ref_len), ()),
+    lambda aux, leaves: RefArrays(_from=(leaves, aux)),
+)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def gather_windows(ra: RefArrays, ref_id, g0, n: int):
+    """Gather n reference codes starting at global offset g0 per lane.
+
+    ref_id: int32[B] genome the window must stay inside (positions outside
+    [ref_offset[r], ref_offset[r]+ref_len[r]) return 255); g0: int32[B]
+    global start. Returns int32[B, n]."""
+    ref_id = jnp.asarray(ref_id, jnp.int32)
+    g0 = jnp.asarray(g0, jnp.int32)
+    total = ra.ref_bytes.shape[0] * 4
+    pos = g0[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+    rc = jnp.clip(ref_id, 0, ra.ref_offset.shape[0] - 1)
+    lo = ra.ref_offset[rc][:, None]
+    hi = lo + ra.ref_len[rc][:, None]
+    ok = (pos >= lo) & (pos < hi) & (pos >= 0) & (pos < total) & (
+        ref_id >= 0)[:, None]
+    p = jnp.clip(pos, 0, total - 1)
+    byte = ra.ref_bytes[p >> 2].astype(jnp.int32)
+    code = (byte >> (6 - 2 * (p & 3))) & 3
+    return jnp.where(ok, code, 255)

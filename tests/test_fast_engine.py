@@ -137,6 +137,111 @@ def test_fast_engine_batch_padding_consistency(fast_cl):
         assert (a.ref_ID, a.score, a.direction) == (b.ref_ID, b.score, b.direction)
 
 
+def test_gather_windows_matches_oracle_get_ref(golden_oracle_index):
+    from desamba_tpu.index.tensor_index import from_oracle_index
+    from desamba_tpu.ops.refwin import RefArrays, gather_windows
+
+    oi = golden_oracle_index
+    ra = RefArrays(from_oracle_index(oi))
+    rng = np.random.default_rng(5)
+    n_ref = len(oi.ref_names)
+    B, n = 16, 64
+    ref_id = rng.integers(0, n_ref, B).astype(np.int32)
+    # starts straddling genome boundaries on purpose
+    g0 = np.array([int(oi.ref_offset[r]) + int(rng.integers(-30,
+                   int(oi.ref_len[r]))) for r in ref_id], np.int32)
+    win = np.asarray(gather_windows(ra, ref_id, g0, n))
+    for b in range(B):
+        lo = int(oi.ref_offset[ref_id[b]])
+        hi = lo + int(oi.ref_len[ref_id[b]])
+        exp = oi.get_ref(int(g0[b]), n, True).astype(np.int32)
+        idxs = g0[b] + np.arange(n)
+        exp[(idxs < lo) | (idxs >= hi)] = 255  # out-of-genome mask
+        assert (win[b] == exp).all()
+
+
+def test_band_score_jnp_brute_force():
+    """Banded MEM score == brute-force 'read positions ending a >=9 run'."""
+    from desamba_tpu.ops.matchblock import band_score_jnp
+
+    rng = np.random.default_rng(0)
+    B, W, K = 4, 256, 32
+    read = rng.integers(0, 4, (B, W)).astype(np.int32)
+    rlen = rng.integers(50, W + 1, B).astype(np.int32)
+    win = rng.integers(0, 4, (B, W + K - 1)).astype(np.int32)
+    win[1, 50:100] = read[1, 40:90]   # planted MEM on diagonal k=10
+    win[2, 3 : W + 3] = read[2, :W]   # full-length match on k=3
+    out = {k: np.asarray(v) for k, v in
+           band_score_jnp(read, rlen, win, K=K).items()}
+    for b in range(B):
+        score, qs, qe = 0, W, -1
+        for q in range(int(rlen[b])):
+            hit = False
+            for k in range(K):
+                m, qq = 0, q
+                while 0 <= qq < rlen[b] and read[b, qq] == win[b, qq + k]:
+                    m += 1
+                    qq -= 1
+                if m >= 9:
+                    hit = True
+                    break
+            if hit:
+                score += 1
+                qs = min(qs, q)
+                qe = max(qe, q)
+        assert (score, qs, qe) == (out["score"][b], out["q_st"][b],
+                                   out["q_ed"][b]), b
+
+
+def _ref_primaries():
+    prim = {}
+    for line in open(os.path.join(GOLD, "classify.sam")):
+        f = line.split("\t")
+        if len(f) < 4 or not f[1].isdigit():
+            continue
+        if int(f[1]) & 0x900:
+            continue
+        prim[f[0]] = f[2].split("|")[1] if f[2] != "*" else "-"
+    return prim
+
+
+def test_fast_engine_full_golden_vs_reference_primaries(golden_oracle_index):
+    """The VERDICT r1 gap: the fast path validated on the FULL golden set
+    (incl. 1-2.8 kb reads at 12-18% error) against the reference binary's
+    primary assignments. With the exact-replay fallback the agreement must
+    be total; the device-only path must carry most of the load."""
+    from desamba_tpu.engine.fast_engine import FastClassifier
+
+    cl = FastClassifier(golden_oracle_index)
+    reads = _golden_reads()
+    res = cl.classify_batch(reads)
+    prim = _ref_primaries()
+    agree = sum(
+        1 for r in res
+        if (str(cl.tid_of(r.ref_ID)) if r.ref_ID >= 0 else "-")
+        == prim.get(r.name, "?"))
+    assert agree == len(res), f"{agree}/{len(res)}"
+    # the replay must stay the minority even on this repeat-heavy set
+    assert cl.stats["n_fallback"] <= len(res) * 0.25, cl.stats
+
+
+def test_fast_engine_device_only_long_reads(golden_oracle_index):
+    """Without the fallback, the pure device pipeline alone must resolve
+    >= 85% of the full set (ties on identical mosaic segments are the
+    irreducible remainder — the reference breaks them by qsort order)."""
+    from desamba_tpu.engine.fast_engine import FastClassifier
+
+    cl = FastClassifier(golden_oracle_index, exact_fallback=False)
+    reads = _golden_reads()
+    res = cl.classify_batch(reads)
+    prim = _ref_primaries()
+    agree = sum(
+        1 for r in res
+        if (str(cl.tid_of(r.ref_ID)) if r.ref_ID >= 0 else "-")
+        == prim.get(r.name, "?"))
+    assert agree >= int(0.85 * len(res)), f"{agree}/{len(res)}"
+
+
 def test_fast_engine_mesh_matches_single(golden_oracle_index):
     """Data-parallel (8-dev CPU mesh) == single-device results."""
     from desamba_tpu.engine.fast_engine import FastClassifier
