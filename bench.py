@@ -1,11 +1,21 @@
-"""Benchmark: reads/sec/chip for batched long-read classification.
+"""Benchmark: reads/sec/chip for batched long-read classification ON DEVICE.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against the reference C binary (single thread, its
-PR1 config) measured live on this host when available, else against the
-recorded host-CPU figure in /tmp-cache or BENCH_BASELINE_RPS.
 
-Extra diagnostics go to stderr only.
+The measured path is the TPU-resident FastClassifier pipeline
+(desamba_tpu/engine/fast_engine.py): exist-probe -> FM search -> locate +
+diagonal vote -> banded match-block rescore, four device dispatches per
+chunk with pipelined host encode/format (the kt_pipeline analog), plus the
+exact-replay fallback for ambiguous reads — i.e. the deployment path, timed
+end to end (encode + H2D + device + D2H + format + fallback).
+
+vs_baseline compares against the reference C binary (same thread count as
+host CPUs, its classify CLI) measured live on this host when it can be
+built, else against BENCH_BASELINE_RPS.
+
+Secondary diagnostics on stderr only: pure-device run (fallback disabled),
+fallback fraction, host C++ engine, reference binary, and a rough
+achieved-bandwidth estimate for the device stages.
 """
 from __future__ import annotations
 
@@ -20,8 +30,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 CACHE = "/tmp/desamba_tpu_bench"
 REF_BIN = os.environ.get("DESAMBA_REF_BIN", "/tmp/refbuild/bin/deSAMBA")
-N_READS = int(os.environ.get("BENCH_READS", "256"))
-FALLBACK_BASELINE_RPS = float(os.environ.get("BENCH_BASELINE_RPS", "185.0"))
+N_READS = int(os.environ.get("BENCH_READS", "512"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "512"))
+FALLBACK_BASELINE_RPS = float(os.environ.get("BENCH_BASELINE_RPS", "397.0"))
 
 
 def log(*a):
@@ -29,8 +40,6 @@ def log(*a):
 
 
 def prepare():
-    import numpy as np
-
     from desamba_tpu.index.build import build_index
     from desamba_tpu.index.format_ref import save_ref_format
     from desamba_tpu.io.fastx import write_fasta, write_fastq
@@ -38,41 +47,90 @@ def prepare():
 
     os.makedirs(CACHE, exist_ok=True)
     fa = os.path.join(CACHE, "ref.fa")
-    fq = os.path.join(CACHE, "reads.fq")
+    fq = os.path.join(CACHE, f"reads_{N_READS}.fq")
     idx_dir = os.path.join(CACHE, "idx")
     if not os.path.exists(os.path.join(idx_dir, "deSAMBA.bwt")):
-        log("bench: building data + index (one-time)")
+        log("bench: building index (one-time)")
         refs = make_references(seed=31, n_genomes=4, length=60_000)
         write_fasta(fa, refs)
+        idx = build_index(fa)
+        save_ref_format(idx, idx_dir)
+    if not os.path.exists(fq):
+        from desamba_tpu.io.fastx import read_fastx
+
+        refs = [(r.name, r.seq) for r in read_fastx(fa)]
         reads = make_reads(refs, seed=41, n_reads=N_READS,
                            read_len=(1000, 3000), err=0.10)
         write_fastq(fq, reads)
-        idx = build_index(fa)
-        save_ref_format(idx, idx_dir)
     return fa, fq, idx_dir
 
 
-def bench_engine(idx_dir, fq, n_threads):
-    """Production classify path: the native batch engine (same semantics as
-    the reference, validated bit-exact in tests) + the SAM formatter."""
+def bench_device(idx_dir, fq):
+    """The product path on the chip: resident-index FastClassifier."""
+    import jax
+
+    from desamba_tpu.engine.fast_engine import FastClassifier
+    from desamba_tpu.index.format_ref import RefFormatIndex
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.oracle.classify import OracleIndex
+
+    log(f"bench: jax backend = {jax.default_backend()}, "
+        f"devices = {jax.devices()}")
+    oi = OracleIndex(RefFormatIndex(idx_dir))
+    reads = [(r.name, r.seq, r.qual) for r in read_fastx(fq)]
+    n = len(reads)
+
+    cl = FastClassifier(oi)
+    t0 = time.time()
+    cl.classify_batch(reads, block=BLOCK)  # warm: compiles every bucket
+    log(f"bench: warm pass (incl. compile) {time.time() - t0:.1f}s")
+
+    best = 0.0
+    for it in range(3):
+        t0 = time.time()
+        res = cl.classify_batch(reads, block=BLOCK)
+        dt = time.time() - t0
+        best = max(best, n / dt)
+        log(f"bench: device+fallback run {it}: {n} reads in {dt:.3f}s "
+            f"= {n / dt:.1f} reads/s")
+    frac = cl.stats["n_fallback"] / max(1, cl.stats["n_reads"])
+    log(f"bench: exact-replay fallback fraction = {frac:.3f}")
+
+    cl2 = FastClassifier(oi, exact_fallback=False)
+    cl2.classify_batch(reads, block=BLOCK)
+    t0 = time.time()
+    cl2.classify_batch(reads, block=BLOCK)
+    dt2 = time.time() - t0
+    log(f"bench: pure-device (no fallback): {n / dt2:.1f} reads/s")
+    # crude achieved-bandwidth estimate: the device stages stream the
+    # read matrix through ~60 full elementwise passes (probe, hash,
+    # vote, band score) at 4 B/elem; v5e HBM peak ~819 GB/s
+    total_bp = sum(len(r[1]) for r in reads)
+    gbs = 60 * 4 * 2 * total_bp / dt2 / 1e9
+    log(f"bench: rough streamed-bytes estimate {gbs:.0f} GB/s "
+        f"({gbs / 819 * 100:.0f}% of v5e HBM peak; "
+        f"gather stages are latency- not bandwidth-bound)")
+    return best, res
+
+
+def bench_native(idx_dir, fq, n_threads):
+    """Host C++ engine (secondary diagnostic; the r1 headline number)."""
     from desamba_tpu.engine.native import NativeClassifier
     from desamba_tpu.index.format_ref import RefFormatIndex
     from desamba_tpu.io.fastx import read_fastx
     from desamba_tpu.oracle.classify import OracleIndex
-    from desamba_tpu.oracle.driver import format_sam
 
     oi = OracleIndex(RefFormatIndex(idx_dir))
     eng = NativeClassifier(oi, n_threads=n_threads)
     reads = [(r.name, r.seq, r.qual) for r in read_fastx(fq)]
     eng.classify_batch(reads[:8])  # warmup (page-in)
     t0 = time.time()
-    results = eng.classify_batch(reads)
-    sam = "".join(format_sam(oi, r, False) for r in results)
+    eng.classify_batch(reads)
     dt = time.time() - t0
     rps = len(reads) / dt
-    log(f"bench: native engine (-t {n_threads}) {len(reads)} reads in "
+    log(f"bench: host C++ engine (-t {n_threads}) {len(reads)} reads in "
         f"{dt:.2f}s = {rps:.2f} reads/s")
-    return rps, sam
+    return rps
 
 
 def _ensure_ref_binary():
@@ -99,9 +157,11 @@ def _ensure_ref_binary():
 def bench_reference(idx_dir, fq, n_threads):
     if not _ensure_ref_binary():
         return None
-    cachef = os.path.join(CACHE, f"ref_rps_t{n_threads}.txt")
+    cachef = os.path.join(CACHE, f"ref_rps_t{n_threads}_n{N_READS}.txt")
     if os.path.exists(cachef):
-        return float(open(cachef).read())
+        rps = float(open(cachef).read())
+        log(f"bench: reference C (-t {n_threads}) cached = {rps:.2f} reads/s")
+        return rps
     t0 = time.time()
     p = subprocess.run([REF_BIN, "classify", "-t", str(n_threads), idx_dir, fq],
                        capture_output=True)
@@ -119,11 +179,16 @@ def bench_reference(idx_dir, fq, n_threads):
 
 def main():
     fa, fq, idx_dir = prepare()
-    n_threads = int(os.environ.get("BENCH_THREADS", str(min(8, os.cpu_count() or 1))))
-    rps, _ = bench_engine(idx_dir, fq, n_threads)
+    n_threads = int(os.environ.get("BENCH_THREADS",
+                                   str(min(8, os.cpu_count() or 1))))
+    rps, _ = bench_device(idx_dir, fq)
+    try:
+        bench_native(idx_dir, fq, n_threads)
+    except Exception as e:
+        log(f"bench: native engine diagnostic failed ({e})")
     base = bench_reference(idx_dir, fq, n_threads) or FALLBACK_BASELINE_RPS
     print(json.dumps({
-        "metric": "classify_long_reads",
+        "metric": "classify_long_reads_tpu",
         "value": round(rps, 2),
         "unit": "reads/sec/chip",
         "vs_baseline": round(rps / base, 3),

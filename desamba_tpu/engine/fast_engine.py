@@ -137,7 +137,12 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         # status 1 (depth cap / read start reached) is a hit here too —
         # the per-row walk below keeps extending from the recorded interval
         srch_ok = seed_ok & (res["sp"] < res["ep"])
-        # per-row single-interval extension (bwt_single_search analog)
+        # per-row single-interval extension (bwt_single_search analog).
+        # Only ~10-15% of lanes carry a live interval; compact them to the
+        # front (stable sort on validity) so the sequential LF walk gathers
+        # touch NC lanes instead of S*R. Lanes past NC are only dropped if
+        # >NC are valid — with NC = S*R/4 that needs >25% of all window
+        # seeds to hit, far beyond real batches.
         R = ROWS_PER_SEARCH
         rowk = jnp.arange(R, dtype=jnp.int32)
         rows = (res["sp"][:, None] + rowk[None, :]).reshape(-1)
@@ -147,13 +152,20 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         lane_r = jnp.repeat(lane, R)
         ptr_r = jnp.repeat(res["ptr"], R)
         rem_r = jnp.repeat(jnp.maximum(s_idx - ml0, 0), R)
-        wr = row_walks(fm, codes_i, rows, ptr_r,
-                       jnp.where(rvalid, rem_r, 0),
-                       lanes=lane_r, with_trace=False)
-        total = jnp.repeat(ml0, R) + 1 + wr["steps"]  # full match length
-        hit_r = rvalid & (total >= min_match) & ~wr["bad_char"]
+        SR = S * R
+        NC = max(256, SR // 4)
+        sel = jnp.argsort(~rvalid, stable=True)[:NC]
+        sval = rvalid[sel]
+        wr = row_walks(fm, codes_i, rows[sel], ptr_r[sel],
+                       jnp.where(sval, rem_r[sel], 0),
+                       lanes=lane_r[sel], with_trace=False)
+        total_c = jnp.repeat(ml0, R)[sel] + 1 + wr["steps"]
+        hit_c = sval & (total_c >= min_match) & ~wr["bad_char"]
+        final_sp = jnp.zeros(SR, jnp.int32).at[sel].set(wr["final_sp"])
+        hit_r = jnp.zeros(SR, jnp.bool_).at[sel].set(hit_c)
+        total = jnp.zeros(SR, jnp.int32).at[sel].set(total_c)
         s_idx_r = jnp.repeat(s_idx, R)
-        return wr["final_sp"], hit_r, total, lane_r, s_idx_r
+        return final_sp, hit_r, total, lane_r, s_idx_r
 
     def stage3(fm, loc, lengths2, final_sp, hit_r, total, s_idx_r, B2: int):
         """Anchor resolution + exact windowed diagonal vote. Rows arrive
@@ -468,16 +480,19 @@ class FastClassifier:
         return out, np.asarray(n_exist)
 
     # ------------------------------------------------------------ encode --
-    def _encode(self, reads):
+    def _encode(self, reads, W: int | None = None, Bp: int | None = None):
         """Vectorized encode into shape buckets (pow2 width AND row count)
         so batches of any size reuse one compiled pipeline per bucket.
         One byte-table lookup over the concatenated batch — no per-read
         Python loop (the kt_pipeline step-0 analog must keep pace with the
-        device, VERDICT r1 weak #9)."""
+        device, VERDICT r1 weak #9). W/Bp pin the bucket shape so callers
+        can hold the set of compiled programs fixed across chunks."""
         lens = np.array([len(r[1]) for r in reads], np.int32)
-        W = _pow2(max(int(lens.max()), self.ek.lek + 2), 256)
+        if W is None:
+            W = _pow2(max(int(lens.max()), self.ek.lek + 2), 256)
         B = len(reads)
-        Bp = _pow2(B, 8)
+        if Bp is None:
+            Bp = _pow2(B, 8)
         flat = self._code[np.frombuffer(
             b"".join(r[1] for r in reads), np.uint8)]
         row = np.repeat(np.arange(B, dtype=np.int64), lens)
@@ -493,13 +508,46 @@ class FastClassifier:
 
     # ----------------------------------------------------------- classify --
     def classify_batch(self, reads, block: int = 512) -> list[FastResult]:
-        out = []
-        for s0 in range(0, len(reads), block):
-            out.extend(self._classify_chunk(reads[s0 : s0 + block]))
+        """Pipelined batch classify — the kt_pipeline analog
+        (lib/kthread.c:157-197): encode chunk i+1 and format chunk i-1 on
+        the host while chunk i computes on device (JAX dispatch is async;
+        only the drain's np.asarray blocks). Reads are grouped into pow2
+        width buckets first so a 1 kb read never pays a 4 kb lane; row
+        count is pinned to `block` so each bucket compiles exactly once."""
+        out: list = [None] * len(reads)
+        by_bucket: dict[int, list[int]] = {}
+        for i, r in enumerate(reads):
+            Wb = _pow2(max(len(r[1]), self.ek.lek + 2), 256)
+            by_bucket.setdefault(Wb, []).append(i)
+        pending: list = []
+
+        def drain():
+            sub, chunk, lens, handles = pending.pop(0)
+            res = {k: np.asarray(v)[: len(chunk)] for k, v in handles.items()}
+            for j, fr in zip(sub, self._format(chunk, lens, res)):
+                out[j] = fr
+
+        for Wb in sorted(by_bucket):
+            ids = by_bucket[Wb]
+            for s0 in range(0, len(ids), block):
+                sub = ids[s0 : s0 + block]
+                chunk = [reads[i] for i in sub]
+                Bp = block if len(ids) > block else _pow2(len(sub), 8)
+                if self.mesh is not None:
+                    n_data = self.mesh.shape["data"]
+                    Bp += (-Bp) % n_data  # rows must split over 'data'
+                handles, lens = self._dispatch_chunk(chunk, Wb, Bp)
+                pending.append((sub, chunk, lens, handles))
+                while len(pending) > 1:
+                    drain()
+        while pending:
+            drain()
         return out
 
-    def _classify_chunk(self, reads):
-        codes2, lengths2, lens = self._encode(reads)
+    def _dispatch_chunk(self, reads, W=None, Bp=None):
+        """Encode + launch the device pipeline; returns (device handles,
+        lens) without forcing a sync."""
+        codes2, lengths2, lens = self._encode(reads, W=W, Bp=Bp)
         B = len(reads)
         Bp = codes2.shape[0] // 2
         if self.mesh is not None:
@@ -514,16 +562,15 @@ class FastClassifier:
                 order.extend(range(Bp + k * per, Bp + (k + 1) * per))
             order = np.array(order)
             res, n_ex = self._run_mesh(codes2[order], lengths2[order])
+            res = dict(res)
             # each shard emits its local B2//2 = per read results, in
             # shard order == original read order
-            res = {k: np.asarray(v)[:B] for k, v in res.items()}
             n_orig = np.empty_like(n_ex)
             n_orig[order] = n_ex
             res["n_exist"] = n_orig[:B] + n_orig[Bp : Bp + B]
         else:
             res = self._run(codes2, lengths2)
-            res = {k: np.asarray(v)[:B] for k, v in res.items()}
-        return self._format(reads, lens, res)
+        return res, lens
 
     def _format(self, reads, lens, res):
         out = []

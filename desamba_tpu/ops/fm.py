@@ -2,9 +2,9 @@
 
 The TPU analog of occ (bwt.c:43-65): the 16-bit-LUT popcount becomes a
 masked SWAR popcount over per-char bit-planes; thousands of backward
-extensions run in lockstep to hide HBM gather latency. A Pallas variant
-lives in ops/fm_pallas.py; this module is the portable/jit reference used
-by the engine and by tests.
+extensions run in lockstep to hide HBM gather latency. This module is
+jit-compiled XLA (gather + VPU popcount fuse well); the Pallas kernels
+live in ops/matchblock.py where hand-tiling pays off.
 
 All row arithmetic is int32 (per-shard rows < 2^31, see DESIGN.md).
 """
@@ -202,7 +202,7 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
         match = (c == want) & (n < max_lens) & ~is_bad
         act = ~done
         new_done = done | (act & ~match)
-        out_row = jnp.where(act & match, nxt, -1) if with_trace else None
+        out_row = jnp.where(act & match, nxt, -1) if with_trace else -1
         return (
             jnp.where(act & match, nxt, sp),
             jnp.where(act & match, ptr - 1, ptr),
@@ -218,9 +218,26 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
         jnp.zeros(B, jnp.bool_),
         jnp.zeros(B, jnp.bool_),
     )
-    (sp_f, ptr_f, n_f, done_f, bad_f), trace = jax.lax.scan(
-        step, init, None, length=trace_cap
-    )
+    if with_trace:
+        (sp_f, ptr_f, n_f, done_f, bad_f), trace = jax.lax.scan(
+            step, init, None, length=trace_cap
+        )
+    else:
+        # no trace to materialize -> early-exit while_loop: walks are
+        # short on average (a couple of LF steps) and the scan would pay
+        # for trace_cap sequential HBM-gather rounds regardless
+        def cond(carry):
+            st, it = carry
+            return ~jnp.all(st[3]) & (it < trace_cap)
+
+        def body(carry):
+            st, it = carry
+            nst, _ = step(st, None)
+            return nst, it + 1
+
+        (sp_f, ptr_f, n_f, done_f, bad_f), _ = jax.lax.while_loop(
+            cond, body, (init, 0))
+        trace = None
     overflow = ~done_f  # still matching after trace_cap steps
     # stop reason: max-len stop excludes the final row from SA tracking
     # (the C breaks before the sa update, cly.c:1351-1359)

@@ -171,15 +171,6 @@ def matchblock_pallas(target, tmask, read, rmask, vmem_cap: int = 1 << 21):
 
 
 # ---------------------------------------------------------- banded ----
-def _band_combine(a, b):
-    """Associative op for consecutive-ones run lengths: combining segment
-    a (left) then b (right) gives (b.count + b.all_ones * a.count,
-    a.all_ones & b.all_ones)."""
-    ca, aa = a
-    cb, ab = b
-    return cb + ab * ca, aa * ab
-
-
 @partial(jax.jit, static_argnames=("K", "q_block"))
 def band_score_jnp(read, rlen, win, K: int, q_block: int = 128):
     """Banded match-block score (the device get_score_M2 analog).
@@ -190,45 +181,54 @@ def band_score_jnp(read, rlen, win, K: int, q_block: int = 128):
     position q at band offset k (255 = outside the genome, never equal).
 
     Returns dict:
-      score: int32[B]  — # read positions starting a >= 9 exact match in
+      score: int32[B]  — # read positions ending a >= 9 exact match in
              the band == sum over band MEMs of (len - 8); the reference
              sum_score scale (see module docstring)
       q_st/q_ed: int32[B] first/last read position covered (W / -1 when
              score == 0)
+
+    A >= 9 run ending at q is just AND_{i=0..8} eq[q-i, k] — a 9-wide
+    sliding AND along q, no run-length scan needed. Processed in
+    q_block-column tiles with an 8-column lookback halo (runs crossing a
+    tile boundary need only the previous 8 eq columns), all in int8/bool
+    so XLA fuses the whole window into one VPU loop nest.
     """
     B, W = read.shape
     assert W % q_block == 0, (W, q_block)
     i32 = jnp.int32
+    SAK = S_A_KMER_L  # 9
+    H = SAK - 1       # lookback halo
     kk = jnp.arange(K, dtype=i32)[None, :]
     qq = jnp.arange(q_block, dtype=i32)[None, :]
-    SAK = 9  # S_A_KMER_L
+    # leading halo of never-equal sentinels so tile 0 needs no clamping
+    read_p = jnp.pad(read, ((0, 0), (H, 0)), constant_values=-1)
+    win_p = jnp.pad(win, ((0, 0), (H, 0)), constant_values=-3)
+    gi = jnp.arange(q_block + H, dtype=i32)[:, None] + kk  # [Qb+H, K]
 
     def step(carry, q0):
-        run_in, score, q_st, q_ed = carry
-        rb = jax.lax.dynamic_slice(read, (0, q0), (B, q_block))
-        wb = jax.lax.dynamic_slice(win, (0, q0), (B, q_block + K - 1))
-        qv = (q0 + qq) < rlen[:, None]
-        # eq[b, t, k] = read[b, q0+t] == win[b, q0+t+k], read pos valid
-        gi = jnp.arange(q_block, dtype=i32)[:, None] + kk  # [Qb, K]
-        wgk = wb[:, gi]  # [B, Qb, K]
-        eq = ((rb[:, :, None] == wgk) & qv[:, :, None]).astype(jnp.int32)
-        cnt, allones = jax.lax.associative_scan(
-            _band_combine, (eq, eq), axis=1)
-        # inject the carried run length (capped at SAK: only >= 9 matters)
-        run = cnt + allones * jnp.minimum(run_in, SAK)[:, None, :]
-        hit_any = (run >= SAK).any(axis=2)  # [B, Qb]
+        score, q_st, q_ed = carry
+        # padded coords: tile covers read positions [q0-H, q0+q_block)
+        rb = jax.lax.dynamic_slice(read_p, (0, q0), (B, q_block + H))
+        wb = jax.lax.dynamic_slice(win_p, (0, q0), (B, q_block + H + K - 1))
+        qv = (q0 - H + jnp.arange(q_block + H, dtype=i32)[None, :]
+              ) < rlen[:, None]
+        # eq[b, t, k] = read[b, q0-H+t] == win[b, q0-H+t+k], pos valid
+        eq = (rb[:, :, None] == wb[:, gi]) & qv[:, :, None]
+        hit = eq[:, H:, :]
+        for i in range(1, SAK):
+            hit = hit & eq[:, H - i : H - i + q_block, :]
+        hit_any = hit.any(axis=2)  # [B, Qb]
         score = score + hit_any.sum(axis=1, dtype=i32)
         qpos = q0 + qq
         q_st = jnp.minimum(q_st, jnp.where(hit_any, qpos, W).min(axis=1))
         q_ed = jnp.maximum(q_ed, jnp.where(hit_any, qpos, -1).max(axis=1))
-        return (run[:, -1, :], score, q_st, q_ed), None
+        return (score, q_st, q_ed), None
 
     init = (
-        jnp.zeros((B, K), i32),
         jnp.zeros((B,), i32),
         jnp.full((B,), W, i32),
         jnp.full((B,), -1, i32),
     )
     q0s = jnp.arange(0, W, q_block, dtype=i32)
-    (run, score, q_st, q_ed), _ = jax.lax.scan(step, init, q0s)
+    (score, q_st, q_ed), _ = jax.lax.scan(step, init, q0s)
     return dict(score=score, q_st=q_st, q_ed=q_ed)
