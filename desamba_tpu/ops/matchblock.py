@@ -84,13 +84,15 @@ def matchblock_jnp(target, tmask, read, rmask):
 
 
 # ----------------------------------------------------------- pallas ----
-def matchblock_pallas(target, tmask, read, rmask, vmem_cap: int = 1 << 21):
+def matchblock_pallas(target, tmask, read, rmask, vmem_cap: int = 1 << 21,
+                      interpret: bool = False):
     """Pallas TPU kernel: same contract as matchblock_jnp.
 
     One kernel instance owns the whole [T, Qp] block in VMEM; diagonal run
     lengths are computed with log-doubling over STATIC diagonal shifts
     (r_2k = r_k + (r_k == k) * r_k<<(k,k)), which lowers to pure VPU work.
     Falls back to the jnp path when the block exceeds the VMEM budget.
+    interpret=True runs the kernel in the Pallas interpreter (CPU tests).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -108,12 +110,20 @@ def matchblock_pallas(target, tmask, read, rmask, vmem_cap: int = 1 << 21):
     rmp = jnp.pad(rmask, (0, Qp - Q))
 
     def _shift_diag(x, k, up_left: bool):
-        # shift the block along the diagonal by k with zero fill (static k)
-        if up_left:
-            core = x[: Tp - k, : Qp - k]
-            return jnp.pad(core, ((k, 0), (k, 0)))
-        core = x[k:, k:]
-        return jnp.pad(core, ((0, k), (0, k)))
+        # shift the block along the diagonal by k with zero fill (static
+        # k). Implemented as circular rolls + an iota mask: Mosaic lowers
+        # rolls natively, while pad/concat of lane-misaligned slices hits
+        # "offset mismatch on non-concat dimension".
+        from jax.experimental.pallas import tpu as pltpu
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Qp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Tp, Qp), 1)
+        if up_left:  # result[t, q] = x[t-k, q-k], 0 where t<k or q<k
+            y = pltpu.roll(pltpu.roll(x, k, 0), k, 1)
+            return jnp.where((rows >= k) & (cols >= k), y, 0)
+        # result[t, q] = x[t+k, q+k], 0 where t>=Tp-k or q>=Qp-k
+        y = pltpu.roll(pltpu.roll(x, (-k) % Tp, 0), (-k) % Qp, 1)
+        return jnp.where((rows < Tp - k) & (cols < Qp - k), y, 0)
 
     def kernel(t_ref, tm_ref, q_ref, qm_ref, hit_ref, rr_ref, rl_ref):
         t = t_ref[:]
@@ -160,6 +170,7 @@ def matchblock_pallas(target, tmask, read, rmask, vmem_cap: int = 1 << 21):
             jax.ShapeDtypeStruct((Tp, Qp), jnp.int32),
             jax.ShapeDtypeStruct((Tp, Qp), jnp.int32),
         ],
+        interpret=interpret,
     )(
         tpad[:, None],
         tmp[:, None].astype(jnp.int32),
