@@ -84,14 +84,21 @@ def cmd_classify(argv):
     ap.add_argument("-f", default="SAM", choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
     ap.add_argument("--engine", default="native",
                     choices=["native", "oracle", "tpu", "sharded", "fast"])
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the device pipeline")
+    ap.add_argument("--timers", action="store_true",
+                    help="print per-stage wall timers (FUNC_GET_TIME analog)")
     a = ap.parse_args(argv)
 
     import os
 
     from .io.fastx import read_fastx
+    from .utils.timers import SectionTimes, cputime, device_trace
 
     out = open(a.o, "w") if a.o else sys.stdout
+    st = SectionTimes()
     t0 = time.time()
+    cpu0 = cputime()
     total = 0
     output_seq = a.f == "SAM_FULL"
     if os.path.exists(os.path.join(a.index_dir, "shards.json")):
@@ -155,13 +162,17 @@ def cmd_classify(argv):
         eng = FastClassifier(idx, min_score=a.s)
         for path in a.reads:
             print(f"Processing file: [{path}].", file=sys.stderr)
-            reads = [(r.name, r.seq, r.qual) for r in read_fastx(path)]
+            with st.section("read_reads"):
+                reads = [(r.name, r.seq, r.qual) for r in read_fastx(path)]
             total += len(reads)
-            for res in eng.classify_batch(reads):
-                ref = (idx.ref_names[res.ref_ID]
-                       if res.ref_ID >= 0 else "*")
-                out.write(f"{res.name}\t{ref}\t{res.direction}\t"
-                          f"{res.score}\t{res.read_len}\n")
+            with device_trace(a.profile), st.section("classify_device"):
+                results = eng.classify_batch(reads)
+            with st.section("output_results"):
+                for res in results:
+                    ref = (idx.ref_names[res.ref_ID]
+                           if res.ref_ID >= 0 else "*")
+                    out.write(f"{res.name}\t{ref}\t{res.direction}\t"
+                              f"{res.score}\t{res.read_len}\n")
     elif a.engine == "tpu":
         from .engine.tpu_engine import TpuClassifier
         from .index.format_ref import RefFormatIndex
@@ -199,6 +210,10 @@ def cmd_classify(argv):
     secs = time.time() - t0
     print(f"{total} sequences processed in {secs:.3f}s "
           f"({total / 1.0e3 / (secs / 60):.1f} Kseq/m).", file=sys.stderr)
+    # the reference's CPU-time report (cly_mt.c:558)
+    print(f"Classify CPU: {cputime() - cpu0:.3f} sec", file=sys.stderr)
+    if a.timers:
+        st.report()
     if a.o:
         out.close()
 
@@ -222,20 +237,28 @@ def main(argv=None):
               file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
-    if cmd == "kmersort":
-        return cmd_kmersort(rest)
-    if cmd == "index":
-        return cmd_index(rest)
-    if cmd == "classify":
-        return cmd_classify(rest)
-    if cmd == "analysis":
-        return cmd_analysis(rest)
-    if cmd == "fqx":
-        from .tools.fqx import main as fqx_main
+    show_title = True  # main.c:36,43: analysis suppresses the exit line
+    try:
+        if cmd == "kmersort":
+            return cmd_kmersort(rest)
+        if cmd == "index":
+            return cmd_index(rest)
+        if cmd == "classify":
+            return cmd_classify(rest)
+        if cmd == "analysis":
+            show_title = False
+            return cmd_analysis(rest)
+        if cmd == "fqx":
+            from .tools.fqx import main as fqx_main
 
-        return fqx_main(rest)
-    print(f"unknown command [{cmd}]", file=sys.stderr)
-    return 1
+            return fqx_main(rest)
+        print(f"unknown command [{cmd}]", file=sys.stderr)
+        return 1
+    finally:
+        if show_title:
+            from .utils.timers import report_peak_rss
+
+            report_peak_rss()
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ from ..constants import (
     NGS_MAX_READ_L,
     SEED_RANGE,
     SHORT_3G_READ_L,
+    STEP_EK,
 )
 
 
@@ -104,14 +105,17 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
     from ..ops.fm import interval_search, row_walks
     from ..ops.locate import expand_refpos, resolve_rows
     from ..ops.matchblock import band_score_jnp
-    from ..ops.refwin import gather_windows
+    from ..ops.refwin import gather_band_windows
     from ..ops.seeds import top_seeds
 
     def stage1(w0, w1, codes2, lengths2):
-        """codes2: uint8[2B, W] (rows 0..B-1 fwd, B..2B-1 rc)."""
-        ex = _probe_reads(w0, w1, codes2, lengths2, lek, sbm, mask_bits)
-        lo26 = kmer_lo26(codes2, lek)
-        kidx, runlen = top_seeds(ex, SEED_RANGE)  # [2B, n_win]
+        """codes2: uint8[2B, W] (rows 0..B-1 fwd, B..2B-1 rc). Probes on
+        the reference's STEP_EK grid (cly.c:969,979): bitmap gathers are
+        the cost here, and the C itself only probes every 3rd k-mer."""
+        ex = _probe_reads(w0, w1, codes2, lengths2, lek, sbm, mask_bits,
+                          stride=STEP_EK)
+        lo26 = kmer_lo26(codes2, lek, stride=STEP_EK)
+        kidx, runlen = top_seeds(ex, SEED_RANGE // STEP_EK)  # [2B, n_win]
         n_exist = ex.sum(axis=1).astype(jnp.int32)
         return lo26, kidx, runlen, n_exist
 
@@ -120,9 +124,9 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         n_win = kidx.shape[1]
         S = B2 * n_win
         lane = jnp.repeat(jnp.arange(B2, dtype=jnp.int32), n_win)
-        sk = kidx.reshape(S)
+        sk = kidx.reshape(S)  # stride-grid column of the window's top seed
         rl = runlen.reshape(S)
-        s_idx = sk + (lek - 1)
+        s_idx = (STEP_EK - 1) + STEP_EK * sk + (lek - 1)
         seed_ok = (rl > 0) & (s_idx < lengths2[lane])
         pre = lo26[lane, sk]
         sp0 = jnp.where(seed_ok, fm.hash13[pre], 0)
@@ -235,8 +239,13 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         ref_f = ref_c.reshape(-1)          # [B2*C]
         diag_f = diag_c.reshape(-1)
         lane_f = jnp.repeat(jnp.arange(B2, dtype=jnp.int32), C)
-        win = gather_windows(ra, ref_f, diag_f - band, W + K - 1)
-        bs = band_score_jnp(codes_i[lane_f], lengths2[lane_f], win, K=K)
+        # word-gather path: align the band start down to a 16-code word
+        # boundary and widen the band by the worst-case 16-code slack +1
+        # (width must be a multiple of 16) — same coverage, 16x fewer
+        # random HBM gathers than per-position bytes
+        g0a = (diag_f - band) & ~15
+        win = gather_band_windows(ra, ref_f, g0a, W + K + 16)
+        bs = band_score_jnp(codes_i[lane_f], lengths2[lane_f], win, K=K + 17)
         B = B2 // 2
 
         def fold(x):  # [B2, C] -> [B, 2C]: fwd candidates then rc
@@ -310,9 +319,10 @@ AMB_MARGIN = 8       # cross-ref score gap below which a read is replayed
                      # (the reference merges chains within +5 of each other,
                      # cly.c:2913-2952, so gaps this small are tie-order
                      # territory the approximate score cannot adjudicate)
-AMB_MIN_EXIST = 3    # unclassified reads with >= this many exist-kmers get
-                     # a replay (the reference's slow path may still anchor
-                     # them, cly.c:3098-3122)
+AMB_MIN_EXIST = 1    # unclassified reads with >= this many exist-kmer hits
+                     # on the STEP_EK probe grid get a replay (the
+                     # reference's slow path may still anchor them,
+                     # cly.c:3098-3122); 1 stride hit ~ 3 dense k-mers
 
 
 class FastClassifier:

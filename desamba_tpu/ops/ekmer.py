@@ -58,25 +58,44 @@ def _probe(words, h):
     return ((byte >> bit) & jnp.uint32(1)).astype(jnp.bool_)
 
 
-@partial(jax.jit, static_argnames=("lek", "single_base_max", "mask_bits"))
+def _grid(n_kmer: int, stride: int) -> int:
+    """Stride-grid size: positions p(g) = (stride-1) + stride*g, the exact
+    probe schedule of search_exist_kmer_M2 (i = STEP_EK-1; i += STEP_EK,
+    cly.c:979)."""
+    return (n_kmer - stride) // stride + 1
+
+
+@partial(jax.jit,
+         static_argnames=("lek", "single_base_max", "mask_bits", "stride"))
 def _probe_reads(w0, w1, codes, lengths, lek: int, single_base_max: int,
-                 mask_bits: int):
+                 mask_bits: int, stride: int = 1):
+    """stride>1 probes only the reference's STEP_EK grid (cly.c:969,979):
+    the bitmap gathers dominate this stage on TPU, so probing every 3rd
+    k-mer — exactly what the C does — cuts the cost 3x. Outputs are on the
+    stride grid: column g is read offset (stride-1) + stride*g."""
     B, L = codes.shape
     n_kmer = L - lek + 1
+    n_g = _grid(n_kmer, stride)
     c = codes.astype(jnp.int32)
+
+    def sub(x, j0):  # columns j0 + stride*[0, n_g) of a [B, >=...] array
+        return x[:, j0 : j0 + stride * (n_g - 1) + 1 : stride]
+
+    p0 = stride - 1  # first probed offset
     # window base counts via prefix sums  [B, L+1]
     valid = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.int32)
-    fail = jnp.zeros((B, n_kmer), jnp.bool_)
+    fail = jnp.zeros((B, n_g), jnp.bool_)
     for base in range(4):
         is_b = ((c == base) & (valid == 1)).astype(jnp.int32)
-        ps = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), jnp.cumsum(is_b, axis=1)], axis=1)
-        wc = ps[:, lek:] - ps[:, :-lek]  # count in window [i, i+lek)
-        fail = fail | (wc[:, :n_kmer] >= single_base_max)
+        ps = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(is_b, axis=1)], axis=1)
+        wc = sub(ps, p0 + lek) - sub(ps, p0)  # count in [p, p+lek)
+        fail = fail | (wc >= single_base_max)
     # rolling kmers as uint32 pair (lek <= 20 -> 40 bits)
-    hi = jnp.zeros((B, n_kmer), jnp.uint32)
-    lo = jnp.zeros((B, n_kmer), jnp.uint32)
+    hi = jnp.zeros((B, n_g), jnp.uint32)
+    lo = jnp.zeros((B, n_g), jnp.uint32)
     for j in range(lek):
-        cc = c[:, j : j + n_kmer].astype(jnp.uint32)
+        cc = sub(c, p0 + j).astype(jnp.uint32)
         hi = (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30))
         lo = (lo << jnp.uint32(2)) | cc
     kzero = (hi == 0) & (lo == 0)
@@ -86,22 +105,27 @@ def _probe_reads(w0, w1, codes, lengths, lek: int, single_base_max: int,
     r1 = _probe(w0, h1)
     h2 = u64.and_mask_bits(u64.hash64_2(kmer), mask_bits)
     r2 = _probe(w1, h2)
-    in_read = jnp.arange(n_kmer)[None, :] + lek <= lengths[:, None]
+    pos = p0 + stride * jnp.arange(n_g, dtype=jnp.int32)
+    in_read = pos[None, :] + lek <= lengths[:, None]
     return (keep & r1 & r2 & in_read).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("lek",))
-def kmer_lo26(codes, lek: int):
+@partial(jax.jit, static_argnames=("lek", "stride"))
+def kmer_lo26(codes, lek: int, stride: int = 1):
     """Low 26 bits (last 13 bases) of the e-kmer ending at each offset —
     the hash13 prefix value pre_v (PRE_IDX_MASK, idx.h:59) per position.
 
-    codes: uint8[B, L]; returns int32[B, L-lek+1]."""
+    codes: uint8[B, L]; returns int32[B, n_grid] on the same stride grid
+    as _probe_reads (column g = read offset (stride-1) + stride*g)."""
     B, L = codes.shape
     n_kmer = L - lek + 1
+    n_g = _grid(n_kmer, stride)
+    p0 = stride - 1
     c = codes.astype(jnp.uint32)
-    lo = jnp.zeros((B, n_kmer), jnp.uint32)
+    lo = jnp.zeros((B, n_g), jnp.uint32)
     for j in range(lek - 13, lek):
-        lo = (lo << jnp.uint32(2)) | c[:, j : j + n_kmer]
+        j0 = p0 + j
+        lo = (lo << jnp.uint32(2)) | c[:, j0 : j0 + stride * (n_g - 1) + 1 : stride]
     return (lo & jnp.uint32(0x3FFFFFF)).astype(jnp.int32)
 
 

@@ -22,11 +22,16 @@ import numpy as np
 
 
 class RefArrays:
-    """Device-resident packed reference + per-genome extents (a jax pytree)."""
+    """Device-resident packed reference + per-genome extents (a jax pytree).
+
+    Holds the 2-bit reference both as bytes (exact per-position gathers)
+    and as little-endian uint32 words of 16 codes (the production band
+    gather: 16x fewer random gathers, unpack on the VPU)."""
 
     def __init__(self, ti=None, device=None, _from=None):
         if _from is not None:
-            (self.ref_bytes, self.ref_offset, self.ref_len), () = _from
+            (self.ref_bytes, self.ref_words, self.ref_offset,
+             self.ref_len), () = _from
             return
         put = partial(jax.device_put, device=device)
         if np.asarray(ti.ref_offset).max(initial=0) + np.asarray(
@@ -34,14 +39,18 @@ class RefArrays:
             raise NotImplementedError(
                 "reference > 2^31 bp per shard; shard the index "
                 "(parallel/shard_index.py)")
-        self.ref_bytes = put(jnp.asarray(ti.ref_bin, dtype=jnp.uint8))
+        rb = np.asarray(ti.ref_bin, dtype=np.uint8)
+        self.ref_bytes = put(jnp.asarray(rb))
+        pad = (-len(rb)) % 4
+        rw = np.pad(rb, (0, pad)).view("<u4")
+        self.ref_words = put(jnp.asarray(rw))
         self.ref_offset = put(jnp.asarray(ti.ref_offset, dtype=jnp.int32))
         self.ref_len = put(jnp.asarray(ti.ref_len, dtype=jnp.int32))
 
 
 jax.tree_util.register_pytree_node(
     RefArrays,
-    lambda ra: ((ra.ref_bytes, ra.ref_offset, ra.ref_len), ()),
+    lambda ra: ((ra.ref_bytes, ra.ref_words, ra.ref_offset, ra.ref_len), ()),
     lambda aux, leaves: RefArrays(_from=(leaves, aux)),
 )
 
@@ -65,4 +74,36 @@ def gather_windows(ra: RefArrays, ref_id, g0, n: int):
     p = jnp.clip(pos, 0, total - 1)
     byte = ra.ref_bytes[p >> 2].astype(jnp.int32)
     code = (byte >> (6 - 2 * (p & 3))) & 3
+    return jnp.where(ok, code, 255)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def gather_band_windows(ra: RefArrays, ref_id, g0a, n: int):
+    """Production window gather for the banded rescorer: g0a MUST be
+    16-aligned (caller aligns the band start down and widens the band by
+    16). Gathers uint32 words of 16 codes each — 16x fewer random HBM
+    gathers than per-position bytes — then unpacks on the VPU.
+
+    Word layout: little-endian u32 over MSB-first 2-bit bytes, so code
+    t in [0,16) of word w sits at shift 8*(t>>2) + 6 - 2*(t&3).
+    Same out-of-genome masking contract as gather_windows (255)."""
+    assert n % 16 == 0, n
+    ref_id = jnp.asarray(ref_id, jnp.int32)
+    g0a = jnp.asarray(g0a, jnp.int32)
+    nw = n // 16
+    total_w = ra.ref_words.shape[0]
+    widx = (g0a >> 4)[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    words = ra.ref_words[jnp.clip(widx, 0, total_w - 1)]  # [B, nw] u32
+    t = jnp.arange(16, dtype=jnp.uint32)
+    shift = 8 * (t >> 2) + 6 - 2 * (t & 3)
+    codes = (words[:, :, None] >> shift[None, None, :]) & jnp.uint32(3)
+    B = ref_id.shape[0]
+    code = codes.astype(jnp.int32).reshape(B, n)
+    total = ra.ref_bytes.shape[0] * 4
+    pos = g0a[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+    rc = jnp.clip(ref_id, 0, ra.ref_offset.shape[0] - 1)
+    lo = ra.ref_offset[rc][:, None]
+    hi = lo + ra.ref_len[rc][:, None]
+    ok = (pos >= lo) & (pos < hi) & (pos >= 0) & (pos < total) & (
+        ref_id >= 0)[:, None]
     return jnp.where(ok, code, 255)

@@ -301,3 +301,24 @@ def test_matchblock_pallas_vmem_fallback():
     hp, rrp, rlp = (np.asarray(x) for x in matchblock_pallas(
         target, tmask, read, rmask, vmem_cap=64))  # force fallback
     assert (hj == hp).all() and (rrj == rrp).all() and (rlj == rlp).all()
+
+
+def test_gather_band_windows_matches_byte_gather(golden_oracle_index):
+    """The word-gather band path == the exact byte gather on aligned
+    starts (including genome-boundary masking)."""
+    from desamba_tpu.index.tensor_index import from_oracle_index
+    from desamba_tpu.ops.refwin import (RefArrays, gather_band_windows,
+                                        gather_windows)
+
+    oi = golden_oracle_index
+    ra = RefArrays(from_oracle_index(oi))
+    rng = np.random.default_rng(11)
+    n_ref = len(oi.ref_names)
+    B, n = 16, 128
+    ref_id = rng.integers(0, n_ref, B).astype(np.int32)
+    g0 = np.array([int(oi.ref_offset[r]) + int(rng.integers(-40,
+                   int(oi.ref_len[r]))) for r in ref_id], np.int32)
+    g0a = g0 & ~15
+    wa = np.asarray(gather_band_windows(ra, ref_id, g0a, n))
+    wb = np.asarray(gather_windows(ra, ref_id, g0a, n))
+    assert (wa == wb).all()
