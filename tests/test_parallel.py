@@ -109,6 +109,79 @@ def test_partition_references_balanced():
     assert max(loads) - min(loads) < 2500
 
 
+def test_edge_pad_stack_keeps_cumulative_tables_monotonic():
+    from desamba_tpu.engine.sharded_fast import _edge_pad_stack
+
+    a = np.array([0, 3, 7, 12], np.int32)   # CSR-style cumulative
+    b = np.array([0, 5], np.int32)
+    s = _edge_pad_stack([a, b])
+    assert s.shape == (2, 4)
+    assert (np.diff(s[1]) >= 0).all()       # still monotonic
+    assert s[1].tolist() == [0, 5, 5, 5]
+
+
+def test_sharded_fast_classifier_matches_monolithic(
+        sharded_root, golden_oracle_index, mesh42):
+    """VERDICT r1 item 5: the device 'index'-axis sharded classifier on a
+    4x2 ('data','index') mesh vs the replicated-index fast engine on the
+    full golden set. Exact equality is impossible by construction — each
+    shard's exist filter and FM intervals see only its own genomes, so
+    seed selection diverges (the reference itself would diverge if run
+    per-genome; same root cause as the host ShardedEngine drift). The
+    provable contract instead:
+      (a) whenever both paths pick the same genome, score and direction
+          are IDENTICAL (band windows are genome-clamped, so the rescore
+          is layout-independent);
+      (b) equal-score cross-genome ties resolve by the monolithic tie
+          rule (odd top score -> highest ORIGINAL ref_ID, cly.c:62) —
+          possible because the manifest records the fasta order;
+      (c) the diff set is small and the sharded path's agreement with
+          the reference binary's primaries is at least the monolithic
+          device-only path's."""
+    from desamba_tpu.engine.fast_engine import FastClassifier
+    from desamba_tpu.engine.sharded_fast import load_sharded_fast
+    from desamba_tpu.io.fastx import read_fastx
+
+    cl_s = load_sharded_fast(sharded_root, mesh=mesh42)
+    cl_1 = FastClassifier(golden_oracle_index, exact_fallback=False)
+    reads = [(r.name, r.seq, r.qual) for r in read_fastx(
+        os.path.join(GOLD, "reads.fq"))]
+    rs = cl_s.classify_batch(reads)
+    r1 = cl_1.classify_batch(reads)
+    mono_names = list(cl_1.oi.ref_names)
+    assert cl_s.ref_names == mono_names  # original numbering restored
+    diffs = []
+    for a, b in zip(rs, r1):
+        na = cl_s.ref_names[a.ref_ID] if a.ref_ID >= 0 else "-"
+        nb = mono_names[b.ref_ID] if b.ref_ID >= 0 else "-"
+        if na == nb:  # (a) same genome -> identical score + direction
+            assert (a.score, a.direction) == (b.score, b.direction), a.name
+        elif a.score == b.score and a.ref_ID >= 0 and b.ref_ID >= 0:
+            # (b) true cross-genome tie: sharded must break it exactly
+            # like the monolithic stage-4 rule over original ref_IDs
+            want = max if (a.score & 1) else min
+            assert a.ref_ID == want(a.ref_ID, b.ref_ID), a.name
+            diffs.append(a.name)
+        else:
+            diffs.append(a.name)
+    assert len(diffs) <= max(2, len(reads) // 10), diffs
+    # (c) reference-primary agreement: sharded >= monolithic device-only
+    prim = {}
+    for line in open(os.path.join(GOLD, "classify.sam")):
+        f = line.split("\t")
+        if len(f) >= 4 and f[1].isdigit() and not int(f[1]) & 0x900:
+            prim[f[0]] = f[2].split("|")[1] if f[2] != "*" else "-"
+
+    def agreement(cl, res):
+        return sum(
+            1 for r in res
+            if (str(cl.tid_of(r.ref_ID)) if r.ref_ID >= 0 else "-")
+            == prim.get(r.name, "?"))
+
+    ag_s, ag_1 = agreement(cl_s, rs), agreement(cl_1, r1)
+    assert ag_s >= ag_1 - 1, (ag_s, ag_1, len(reads))
+
+
 def test_sharded_engine_matches_monolithic_classification(
         sharded_root, golden_oracle_index):
     """Every read's primary assignment (ref name -> tid) from the 2-shard
