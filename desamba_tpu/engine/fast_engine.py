@@ -315,6 +315,53 @@ def _score_threshold(read_len: int, filter_min_score: int,
     return filter_min_score + 10, filter_min_score
 
 
+# packed result-row order: one [7|8, Bp] int32 array leaves the device per
+# chunk (a SINGLE D2H — on latency-bound interconnects like a tunneled chip
+# every separate fetch costs ~10s of ms, so the 7 per-read outputs are
+# stacked on device and fetched together)
+PACK_KEYS = ("score", "ref", "direction", "cov", "pos", "score_alt")
+
+
+_PACKERS: dict = {}
+
+
+def _packer(n: int):
+    """Jitted device-side result pack: 7 rows (single device, row 6 =
+    strand-folded n_exist) or 8 rows (mesh, rows 6-7 = raw n_exist
+    halves; the host de-interleaves)."""
+    if n not in _PACKERS:
+        import jax
+        import jax.numpy as jnp
+
+        if n == 7:
+            def pack(out, n_exist):
+                B = out["score"].shape[0]
+                ne = n_exist[:B] + n_exist[B:]
+                return jnp.stack([out[k] for k in PACK_KEYS] + [ne])
+        else:
+            def pack(out, n_exist):
+                a, b = jnp.split(n_exist, 2, axis=-1)
+                return jnp.stack([out[k] for k in PACK_KEYS] + [a, b])
+        _PACKERS[n] = jax.jit(pack)
+    return _PACKERS[n]
+
+
+def _unpack_rows(arr: "np.ndarray", B: int, order) -> dict:
+    """Inverse of the device-side pack: [7, Bp] (single device; row 6 =
+    folded n_exist) or [8, Bp] (mesh; rows 6-7 = n_exist halves in the
+    shard-interleaved row order `order`)."""
+    res = {k: arr[i, :B] for i, k in enumerate(PACK_KEYS)}
+    if order is None:
+        res["n_exist"] = arr[6, :B]
+    else:
+        Bp = arr.shape[1]
+        n2 = np.concatenate([arr[6], arr[7]])
+        n_orig = np.empty_like(n2)
+        n_orig[order] = n2
+        res["n_exist"] = n_orig[:B] + n_orig[Bp : Bp + B]
+    return res
+
+
 AMB_MARGIN = 8       # cross-ref score gap below which a read is replayed
                      # (the reference merges chains within +5 of each other,
                      # cly.c:2913-2952, so gaps this small are tie-order
@@ -398,9 +445,7 @@ class FastClassifier:
         W = codes2.shape[1]
         out = self._s4(self.ra, codes_i, lengths2, ref_c, diag_c, vote_c,
                        B2=B2, K=2 * _band(W))
-        B = B2 // 2
-        out["n_exist"] = n_exist[:B] + n_exist[B:]
-        return out
+        return _packer(7)(out, n_exist)  # [7, B] — ONE device array out
 
     def _shard_stages(self, mesh):
         """Data-parallel variant: reads sharded over 'data', index
@@ -487,7 +532,9 @@ class FastClassifier:
         W = codes2.shape[1]
         out = self._sm4(B2l, 2 * _band(W))(
             self._ra_r, codes_i, lengths2, ref_c, diag_c, vote_c)
-        return out, np.asarray(n_exist)
+        # [8, Bp]: per-read rows in original order, n_exist halves still in
+        # the shard-interleaved row order (host undoes it at drain time)
+        return _packer(8)(out, n_exist)
 
     # ------------------------------------------------------------ encode --
     def _encode(self, reads, W: int | None = None, Bp: int | None = None):
@@ -505,12 +552,15 @@ class FastClassifier:
             Bp = _pow2(B, 8)
         flat = self._code[np.frombuffer(
             b"".join(r[1] for r in reads), np.uint8)]
-        row = np.repeat(np.arange(B, dtype=np.int64), lens)
-        col = np.arange(flat.size, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(lens[:-1], dtype=np.int64)]), lens)
+        inv = 3 - flat
+        off = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
         codes2 = np.zeros((2 * Bp, W), np.uint8)
-        codes2[row, col] = flat
-        codes2[Bp + row, lens[row] - 1 - col] = 3 - flat
+        # per-read row fills: contiguous memcpy per read beats a 2D fancy
+        # scatter with [total_bp] int64 index arrays ~6x at these shapes
+        for i in range(B):
+            o0, o1 = off[i], off[i + 1]
+            codes2[i, : o1 - o0] = flat[o0:o1]
+            codes2[Bp + i, : o1 - o0] = inv[o0:o1][::-1]
         lengths2 = np.zeros(2 * Bp, np.int32)
         lengths2[:B] = lens
         lengths2[Bp : Bp + B] = lens
@@ -532,8 +582,8 @@ class FastClassifier:
         pending: list = []
 
         def drain():
-            sub, chunk, lens, handles = pending.pop(0)
-            res = {k: np.asarray(v)[: len(chunk)] for k, v in handles.items()}
+            sub, chunk, lens, handles, order = pending.pop(0)
+            res = _unpack_rows(np.asarray(handles), len(chunk), order)
             for j, fr in zip(sub, self._format(chunk, lens, res)):
                 out[j] = fr
 
@@ -546,8 +596,8 @@ class FastClassifier:
                 if self.mesh is not None:
                     n_data = self.mesh.shape["data"]
                     Bp += (-Bp) % n_data  # rows must split over 'data'
-                handles, lens = self._dispatch_chunk(chunk, Wb, Bp)
-                pending.append((sub, chunk, lens, handles))
+                handles, lens, order = self._dispatch_chunk(chunk, Wb, Bp)
+                pending.append((sub, chunk, lens, handles, order))
                 while len(pending) > 1:
                     drain()
         while pending:
@@ -555,32 +605,26 @@ class FastClassifier:
         return out
 
     def _dispatch_chunk(self, reads, W=None, Bp=None):
-        """Encode + launch the device pipeline; returns (device handles,
-        lens) without forcing a sync."""
+        """Encode + launch the device pipeline; returns (packed device
+        array, lens, order) without forcing a sync."""
         codes2, lengths2, lens = self._encode(reads, W=W, Bp=Bp)
-        B = len(reads)
         Bp = codes2.shape[0] // 2
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             assert Bp % n_data == 0, "pow2 bucket must divide mesh size"
             # interleave so both strands of a read land on one shard:
-            # shard k gets reads [k*Bp/n .. (k+1)*Bp/n) fwd then their rc
+            # shard k gets reads [k*Bp/n .. (k+1)*Bp/n) fwd then their rc;
+            # each shard then emits its local B2//2 = per read results, in
+            # shard order == original read order (only the n_exist rows in
+            # the pack need de-interleaving, _unpack_rows)
             per = Bp // n_data
             order = []
             for k in range(n_data):
                 order.extend(range(k * per, (k + 1) * per))
                 order.extend(range(Bp + k * per, Bp + (k + 1) * per))
             order = np.array(order)
-            res, n_ex = self._run_mesh(codes2[order], lengths2[order])
-            res = dict(res)
-            # each shard emits its local B2//2 = per read results, in
-            # shard order == original read order
-            n_orig = np.empty_like(n_ex)
-            n_orig[order] = n_ex
-            res["n_exist"] = n_orig[:B] + n_orig[Bp : Bp + B]
-        else:
-            res = self._run(codes2, lengths2)
-        return res, lens
+            return self._run_mesh(codes2[order], lengths2[order]), lens, order
+        return self._run(codes2, lengths2), lens, None
 
     def _format(self, reads, lens, res):
         out = []

@@ -70,6 +70,13 @@ def _stack_shard_trees(trees, mesh):
 
     flats = [jax.tree_util.tree_flatten(t) for t in trees]
     treedef = flats[0][1]
+    for s, f in enumerate(flats[1:], 1):
+        if f[1] != treedef:
+            # a mismatch means static aux differs per shard — stacking
+            # would silently adopt shard 0's value for all shards
+            raise ValueError(
+                f"shard {s} pytree structure/static-aux differs from "
+                f"shard 0: {f[1]} vs {treedef}")
     sh = NamedSharding(mesh, P("index"))
     leaves = [
         jax.device_put(_edge_pad_stack([f[0][i] for f in flats]), sh)
@@ -314,9 +321,12 @@ class ShardedFastClassifier(FastClassifier):
             ref_c, diag_c, vote_c)
         out = self._sm5(res4)
         # exist-kmer evidence for the fallback gate: a read is replayable
-        # if ANY shard saw seeds — take the max over shards
-        n_ex = np.asarray(n_exist).max(axis=0)
-        return out, n_ex
+        # if ANY shard saw seeds — max over shards, on device, packed into
+        # the single [8, Bp] result array (one D2H per chunk)
+        from .fast_engine import _packer
+
+        ne = jax.jit(lambda x: x.max(axis=0))(n_exist)
+        return _packer(8)(out, ne)
 
     def _run(self, codes2, lengths2):  # pragma: no cover - mesh is required
         raise RuntimeError("ShardedFastClassifier always runs on its mesh")
@@ -335,8 +345,13 @@ class ShardedFastClassifier(FastClassifier):
             eng.engines = [
                 NativeClassifier(oi, n_threads=self._fallback_threads)
                 for oi in self.ois]
-            eng.ref_name_offset = list(np.cumsum(
-                [0] + [len(oi.ref_names) for oi in self.ois])[:-1])
+            # local->GLOBAL ref numbering per shard (classify_batch maps
+            # through ref_id_map before the merge qsort, so tie order uses
+            # the same global IDs a monolithic run would)
+            cum = np.cumsum([0] + [len(oi.ref_names) for oi in self.ois])
+            eng.ref_id_map = [
+                [int(g) for g in self._concat2global[cum[s]:cum[s + 1]]]
+                for s in range(len(self.ois))]
             self._native = eng
         out = []
         for rr in self._native.classify_batch(reads):
@@ -346,8 +361,7 @@ class ShardedFastClassifier(FastClassifier):
                                       score=0, read_len=len(rr.seq)))
             else:
                 out.append(FastResult(
-                    name=rr.name,
-                    ref_ID=int(self._concat2global[prim.ref_ID]),
+                    name=rr.name, ref_ID=prim.ref_ID,
                     direction=prim.direction, score=prim.sum_score,
                     read_len=len(rr.seq), pos=prim.t_st))
         return out

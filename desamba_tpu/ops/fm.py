@@ -30,7 +30,7 @@ class FmArrays:
     def __init__(self, ti=None, device=None, _from=None):
         if _from is not None:
             (self.base, self.bits, self.pad, self.rank, self.hash13,
-             self.sa_uni, self.sa_off, self.dollar_pos), (self.L,) = _from
+             self.sa_uni, self.sa_off, self.dollar_pos, self.L), () = _from
             return
         put = partial(jax.device_put, device=device)
         self.base = put(jnp.asarray(ti.bwt_base, dtype=jnp.int32))  # [n_blk, 8]
@@ -40,18 +40,18 @@ class FmArrays:
         self.hash13 = put(jnp.asarray(ti.hash13, dtype=jnp.int32))
         self.sa_uni = put(jnp.asarray(ti.sa_uni, dtype=jnp.int32))
         self.sa_off = put(jnp.asarray(ti.sa_off, dtype=jnp.int32))
-        # a LEAF (0-d int32), not static aux: it differs per index shard,
-        # so the 'index'-sharded engine stacks it like any other array
+        # LEAVES (0-d int32), not static aux: they differ per index shard,
+        # so the 'index'-sharded engine stacks them like any other array
         self.dollar_pos = put(jnp.asarray(int(ti.dollar_pos), dtype=jnp.int32))
-        self.L = int(ti.L)
+        self.L = put(jnp.asarray(int(ti.L), dtype=jnp.int32))
 
 
 jax.tree_util.register_pytree_node(
     FmArrays,
     lambda fm: (
         (fm.base, fm.bits, fm.pad, fm.rank, fm.hash13, fm.sa_uni, fm.sa_off,
-         fm.dollar_pos),
-        (fm.L,),
+         fm.dollar_pos, fm.L),
+        (),
     ),
     lambda aux, leaves: FmArrays(_from=(leaves, aux)),
 )

@@ -83,10 +83,14 @@ class ShardedEngine:
     """Classify against every shard, merge candidates, re-detect primaries.
 
     Per-shard filtering (delete_small_score_rst, cly.c:2878-2988) runs
-    locally — and decomposes EXACTLY: its pos-sort chain merge only ever
+    locally. Its pos-sort chain merge decomposes exactly — it only ever
     combines chains with the SAME ref_ID (cly.c:2913-2952) and refs are
-    disjoint across shards, and its thresholds are per-chain. The merge
-    therefore only has to reproduce the monolithic run's final ordering:
+    disjoint across shards — and its score thresholds are per-chain; the
+    200/400 candidate caps (cly.c:2878-2988 head) however are GLOBAL in a
+    monolithic run and per-shard here, so a read with >200 chains spread
+    across shards can keep a different candidate set (residual divergence,
+    alongside the seed-selection drift below). The merge then has to
+    reproduce the monolithic run's final ordering:
     shard-local ref_IDs are mapped back to the ORIGINAL fasta numbering
     (the manifest's ref_order) and the union is sorted with the real glibc
     qsort under chain_cmp_by_MEM_score — including its sum_score%2 tie
@@ -138,7 +142,7 @@ class ShardedEngine:
     def classify_batch(self, reads) -> list[ReadResult]:
         from ..oracle.cqsort import qsort_list
         from ..oracle.rescore import (SZ_CHAIN, chain_cmp_by_mem_score,
-                                      detect_primary)
+                                      chain_cmp_by_pos, detect_primary)
 
         reads = list(reads)
         per_shard = []
@@ -160,8 +164,13 @@ class ShardedEngine:
                     c.ref_ID = self.ref_id_map[s][c.ref_ID]
                     cands.append(c)
             # the monolithic final sort (delete_small_score_rst's last
-            # qsort, cly.c:2986) over the union, glibc tie semantics
+            # qsort, cly.c:2986) over the union, glibc tie semantics.
+            # chain_cmp_by_mem_score's %2 tie quirk makes the glibc
+            # permutation depend on the INPUT arrangement; monolithically
+            # that input is in chain_cmp_by_pos order (rescore.py:580), so
+            # reconstruct it first instead of sorting the shard-concat order
             if len(cands) > 1:
+                cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_pos)
                 cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_mem_score)
             merged.hits = cands
             detect_primary(merged.hits, len(seq))

@@ -129,9 +129,12 @@ def test_sharded_fast_classifier_matches_monolithic(
     seed selection diverges (the reference itself would diverge if run
     per-genome; same root cause as the host ShardedEngine drift). The
     provable contract instead:
-      (a) whenever both paths pick the same genome, score and direction
-          are IDENTICAL (band windows are genome-clamped, so the rescore
-          is layout-independent);
+      (a) whenever both paths pick the same genome, direction matches and
+          the band score is within a couple of units: the rescore itself
+          is layout-independent (genome-clamped windows), but the stage-3
+          vote picks the band CENTER from shard-local anchor competition,
+          so a 9-mer match at the band edge can fall in or out (the same
+          +-1 drift the r2 dryrun observed on long reads);
       (b) equal-score cross-genome ties resolve by the monolithic tie
           rule (odd top score -> highest ORIGINAL ref_ID, cly.c:62) —
           possible because the manifest records the fasta order;
@@ -154,8 +157,9 @@ def test_sharded_fast_classifier_matches_monolithic(
     for a, b in zip(rs, r1):
         na = cl_s.ref_names[a.ref_ID] if a.ref_ID >= 0 else "-"
         nb = mono_names[b.ref_ID] if b.ref_ID >= 0 else "-"
-        if na == nb:  # (a) same genome -> identical score + direction
-            assert (a.score, a.direction) == (b.score, b.direction), a.name
+        if na == nb:  # (a) same genome -> same direction, score within 3
+            assert a.direction == b.direction, a.name
+            assert abs(a.score - b.score) <= 3, (a.name, a.score, b.score)
         elif a.score == b.score and a.ref_ID >= 0 and b.ref_ID >= 0:
             # (b) true cross-genome tie: sharded must break it exactly
             # like the monolithic stage-4 rule over original ref_IDs
@@ -180,6 +184,35 @@ def test_sharded_fast_classifier_matches_monolithic(
 
     ag_s, ag_1 = agreement(cl_s, rs), agreement(cl_1, r1)
     assert ag_s >= ag_1 - 1, (ag_s, ag_1, len(reads))
+
+
+def test_sharded_fast_exact_fallback_replay(sharded_root, mesh42):
+    """ADVICE r2 (high): exact_fallback=True must actually work — the
+    replay engine's ref_id_map must map shard-local primaries to GLOBAL
+    (original fasta order) ref_IDs identical to the host ShardedEngine."""
+    from desamba_tpu.engine.sharded_fast import load_sharded_fast
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.parallel.shard_index import ShardedEngine
+
+    cl = load_sharded_fast(sharded_root, mesh=mesh42, exact_fallback=True)
+    reads = [(r.name, r.seq, r.qual) for r in read_fastx(
+        os.path.join(GOLD, "reads.fq"))][:8]
+    # drive the replay path directly (deterministic, independent of the
+    # ambiguity gate) and through classify_batch (exercises the gate)
+    rep = cl._replay(reads)
+    eng = ShardedEngine(sharded_root, n_threads=2)
+    exp = eng.classify_batch(reads)
+    for fr, rr in zip(rep, exp):
+        prim = next((h for h in rr.hits if h.primary == 1), None)
+        if prim is None:
+            assert fr.ref_ID == -1, fr.name
+        else:
+            assert fr.ref_ID == prim.ref_ID, fr.name
+            assert cl.ref_names[fr.ref_ID] == eng.merged_view.ref_names[
+                prim.ref_ID], fr.name
+            assert fr.score == prim.sum_score, fr.name
+    out = cl.classify_batch(reads)
+    assert len(out) == len(reads) and all(r is not None for r in out)
 
 
 def test_sharded_engine_matches_monolithic_classification(
