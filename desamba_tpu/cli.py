@@ -153,26 +153,52 @@ def cmd_classify(argv):
             flush()
     elif a.engine == "fast":
         # device-resident throughput mode: taxonomic call per read, DES-style
-        # line output (no per-base alignment — use the exact engines for SAM)
+        # line output (no per-base alignment — use the exact engines for SAM).
+        # 3-stage overlap like the reference's kt_pipeline (kthread.c:157-197,
+        # cly_mt.c:361-381): a reader thread parses FASTQ batches into a
+        # bounded queue (step 0) while the main thread runs the device
+        # pipeline (step 1) and writes results (step 2) — classify_batch
+        # itself additionally overlaps host encode with device compute.
+        import queue
+        import threading
+
+        from .constants import N_NEEDED
         from .engine.fast_engine import FastClassifier
         from .index.format_ref import RefFormatIndex
         from .oracle.classify import OracleIndex
 
         idx = OracleIndex(RefFormatIndex(a.index_dir))
         eng = FastClassifier(idx, min_score=a.s)
-        for path in a.reads:
-            print(f"Processing file: [{path}].", file=sys.stderr)
-            with st.section("read_reads"):
-                reads = [(r.name, r.seq, r.qual) for r in read_fastx(path)]
-            total += len(reads)
-            with device_trace(a.profile), st.section("classify_device"):
-                results = eng.classify_batch(reads)
-            with st.section("output_results"):
-                for res in results:
-                    ref = (idx.ref_names[res.ref_ID]
-                           if res.ref_ID >= 0 else "*")
-                    out.write(f"{res.name}\t{ref}\t{res.direction}\t"
-                              f"{res.score}\t{res.read_len}\n")
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def reader():
+            for path in a.reads:
+                print(f"Processing file: [{path}].", file=sys.stderr)
+                batch = []
+                with st.section("read_reads"):
+                    for r in read_fastx(path):
+                        batch.append((r.name, r.seq, r.qual))
+                        if len(batch) >= N_NEEDED:
+                            q.put(batch)
+                            batch = []
+                if batch:
+                    q.put(batch)
+            q.put(None)
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        with device_trace(a.profile):
+            while (batch := q.get()) is not None:
+                total += len(batch)
+                with st.section("classify_device"):
+                    results = eng.classify_batch(batch)
+                with st.section("output_results"):
+                    for res in results:
+                        ref = (idx.ref_names[res.ref_ID]
+                               if res.ref_ID >= 0 else "*")
+                        out.write(f"{res.name}\t{ref}\t{res.direction}\t"
+                                  f"{res.score}\t{res.read_len}\n")
+        th.join()
     elif a.engine == "tpu":
         from .engine.tpu_engine import TpuClassifier
         from .index.format_ref import RefFormatIndex

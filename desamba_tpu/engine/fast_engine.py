@@ -71,6 +71,9 @@ REFPOS_PER_ANCHOR = 4   # occurrences expanded per anchor (cap; cly.c:842
                         # allows 50 — beyond 4 the vote rarely changes)
 VOTE_TILE = 64          # anchors per pairwise-vote scan step
 N_CAND = 3              # candidates per strand (top / far-diag / other-ref)
+IV_BURST = 12           # lockstep interval-search steps before compacting
+                        # the stragglers (iterate-compact-iterate)
+WALK_BURST = 12         # row-walk steps before compacting stragglers
 
 
 def _band(W: int) -> int:
@@ -131,22 +134,46 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         pre = lo26[lane, sk]
         sp0 = jnp.where(seed_ok, fm.hash13[pre], 0)
         ep0 = jnp.where(seed_ok, fm.hash13[pre + 1], 0)
-        res = interval_search(
-            fm, codes_i, 0, s_idx, sp0, ep0,
-            jnp.full(S, ROWS_PER_SEARCH, jnp.int32),
-            jnp.full(S, min_match, jnp.int32),
-            jnp.minimum(s_idx, 13 + FM_EXT_CAP), lanes=lane,
-        )
+        # --- iterate-compact-iterate: the lockstep loop pays every lane's
+        # occ gathers on EVERY iteration even after the lane breaks; most
+        # lanes break within a few steps (the 13-char hash head start has
+        # already narrowed the interval), so run a short burst on all S
+        # lanes, compact the stragglers (~<=25%), and finish only those.
+        max_rst_a = jnp.full(S, ROWS_PER_SEARCH, jnp.int32)
+        l_min_a = jnp.full(S, min_match, jnp.int32)
+        l_max_a = jnp.minimum(s_idx, 13 + FM_EXT_CAP)
+        st = interval_search(
+            fm, codes_i, 0, s_idx, sp0, ep0, max_rst_a, l_min_a, l_max_a,
+            lanes=lane, max_steps=IV_BURST, return_state=True)
+        live = ~st["done"]
+        NC2 = max(128, S // 4)
+        pos2 = jnp.cumsum(live.astype(jnp.int32)) - 1
+        tgt2 = jnp.where(live & (pos2 < NC2), pos2, NC2)
+        sel2 = jnp.full(NC2, S, jnp.int32).at[tgt2].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop")
+        s2i = jnp.minimum(sel2, S - 1)
+        st_c = {k: v[s2i] for k, v in st.items()}
+        st_c["done"] = st_c["done"] | (sel2 >= S)
+        fin_c = interval_search(
+            fm, codes_i, 0, s_idx[s2i], sp0[s2i], ep0[s2i], max_rst_a[s2i],
+            l_min_a[s2i], l_max_a[s2i], lanes=lane[s2i], state=st_c,
+            return_state=True)
+        res = {k: st[k].at[sel2].set(fin_c[k], mode="drop")
+               for k in ("nsp", "nep", "match_len", "ptr", "status")}
+        res = dict(sp=res["nsp"], ep=res["nep"], match_len=res["match_len"],
+                   ptr=res["ptr"], status=res["status"])
         ml0 = res["match_len"]  # chars matched before the break char
         # status 1 (depth cap / read start reached) is a hit here too —
         # the per-row walk below keeps extending from the recorded interval
         srch_ok = seed_ok & (res["sp"] < res["ep"])
         # per-row single-interval extension (bwt_single_search analog).
         # Only ~10-15% of lanes carry a live interval; compact them to the
-        # front (stable sort on validity) so the sequential LF walk gathers
-        # touch NC lanes instead of S*R. Lanes past NC are only dropped if
-        # >NC are valid — with NC = S*R/4 that needs >25% of all window
-        # seeds to hit, far beyond real batches.
+        # front so the sequential LF walks here AND the SA resolution in
+        # stage 3 gather NC lanes instead of S*R. The compaction is a
+        # cumsum prefix-position scatter (O(n), stable) — an argsort would
+        # cost a full device sort. Lanes past NC are only dropped if >NC
+        # are valid — with NC = S*R/4 that needs >25% of all window seeds
+        # to hit, far beyond real batches.
         R = ROWS_PER_SEARCH
         rowk = jnp.arange(R, dtype=jnp.int32)
         rows = (res["sp"][:, None] + rowk[None, :]).reshape(-1)
@@ -158,32 +185,62 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         rem_r = jnp.repeat(jnp.maximum(s_idx - ml0, 0), R)
         SR = S * R
         NC = max(256, SR // 4)
-        sel = jnp.argsort(~rvalid, stable=True)[:NC]
-        sval = rvalid[sel]
-        wr = row_walks(fm, codes_i, rows[sel], ptr_r[sel],
-                       jnp.where(sval, rem_r[sel], 0),
-                       lanes=lane_r[sel], with_trace=False)
-        total_c = jnp.repeat(ml0, R)[sel] + 1 + wr["steps"]
-        hit_c = sval & (total_c >= min_match) & ~wr["bad_char"]
-        final_sp = jnp.zeros(SR, jnp.int32).at[sel].set(wr["final_sp"])
-        hit_r = jnp.zeros(SR, jnp.bool_).at[sel].set(hit_c)
-        total = jnp.zeros(SR, jnp.int32).at[sel].set(total_c)
-        s_idx_r = jnp.repeat(s_idx, R)
-        return final_sp, hit_r, total, lane_r, s_idx_r
+        pos = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
+        tgt = jnp.where(rvalid & (pos < NC), pos, NC)
+        # invalid slots hold SR (out of range): gathers clamp + are masked
+        # by sval, scatters in stage 3 drop them (mode='drop')
+        sel = jnp.full(NC, SR, jnp.int32).at[tgt].set(
+            jnp.arange(SR, dtype=jnp.int32), mode="drop")
+        sval = sel < SR
+        seli = jnp.minimum(sel, SR - 1)  # clamped for gathers; sval masks
+        # walks, same two-phase shape: short burst on all NC lanes, then
+        # finish the few still matching on an NC/4 compaction
+        wlens = jnp.where(sval, rem_r[seli], 0)
+        wlanes = lane_r[seli]
+        stw = row_walks(fm, codes_i, rows[seli], ptr_r[seli], wlens,
+                        lanes=wlanes, with_trace=False,
+                        trace_cap=WALK_BURST, return_state=True)
+        spw, ptrw, nw, donew, badw = stw
+        livew = ~donew
+        NCW = max(128, NC // 4)
+        posw = jnp.cumsum(livew.astype(jnp.int32)) - 1
+        tgtw = jnp.where(livew & (posw < NCW), posw, NCW)
+        selw = jnp.full(NCW, NC, jnp.int32).at[tgtw].set(
+            jnp.arange(NC, dtype=jnp.int32), mode="drop")
+        swi = jnp.minimum(selw, NC - 1)
+        stw_c = (spw[swi], ptrw[swi], nw[swi],
+                 donew[swi] | (selw >= NC), badw[swi])
+        wrc = row_walks(fm, codes_i, stw_c[0], stw_c[1], wlens[swi],
+                        lanes=wlanes[swi], with_trace=False, state=stw_c)
+        steps = nw.at[selw].set(wrc["steps"], mode="drop")
+        final_sp = spw.at[selw].set(wrc["final_sp"], mode="drop")
+        badw = badw.at[selw].set(wrc["bad_char"], mode="drop")
+        total_c = jnp.repeat(ml0, R)[seli] + 1 + steps
+        hit_c = sval & (total_c >= min_match) & ~badw
+        qleft_c = jnp.repeat(s_idx, R)[seli] - total_c + 1
+        # all [NC]-compacted; sel maps back to the (seed-window, row) grid
+        return final_sp, hit_c, total_c, qleft_c, sel
 
-    def stage3(fm, loc, lengths2, final_sp, hit_r, total, s_idx_r, B2: int):
-        """Anchor resolution + exact windowed diagonal vote. Rows arrive
-        lane-major ((b*n_win + w)*R + r), so [B2, A] reshapes are direct."""
-        loc_r = resolve_rows(fm, loc, final_sp, hit_r)
+    def stage3(fm, loc, lengths2, fsp_c, hit_c, total_c, qleft_c, sel,
+               B2: int, nwR: int):
+        """Anchor resolution + exact windowed diagonal vote, on the
+        [NC]-compacted lanes from stage 2. `nwR` = n_win * R = the
+        per-read lane-grid size; sel // nwR recovers the read row and
+        sel % nwR the anchor slot for the dense [B2, A] vote layout."""
+        loc_r = resolve_rows(fm, loc, fsp_c, hit_c)
         ref, gpos, pvalid = expand_refpos(
             loc, loc_r["uni"], loc_r["u_off"], loc_r["ok"],
-            P=REFPOS_PER_ANCHOR)  # [S*R, P]
+            P=REFPOS_PER_ANCHOR)  # [NC, P]
         P = ref.shape[1]
-        A = (final_sp.shape[0] * P) // B2
-        qleft = (s_idx_r - total + 1)[:, None]
-        ref_a = jnp.where(pvalid, ref, -1).reshape(B2, A)
-        diag_a = (gpos - qleft).reshape(B2, A)
-        w_a = jnp.where(pvalid, total[:, None], 0).reshape(B2, A)
+        A = nwR * P
+        b_i = sel // nwR                      # [NC]; == B2 for dropped slots
+        slot = (sel % nwR)[:, None] * P + jnp.arange(P, dtype=jnp.int32)
+        ref_a = jnp.full((B2, A), -1, jnp.int32).at[b_i[:, None], slot].set(
+            jnp.where(pvalid, ref, -1), mode="drop")
+        diag_a = jnp.zeros((B2, A), jnp.int32).at[b_i[:, None], slot].set(
+            gpos - qleft_c[:, None], mode="drop")
+        w_a = jnp.zeros((B2, A), jnp.int32).at[b_i[:, None], slot].set(
+            jnp.where(pvalid, total_c[:, None], 0), mode="drop")
         tol = jnp.clip(lengths2 >> 4, 30, 160)[:, None, None]  # per lane
 
         # pairwise windowed vote, scanned over j-tiles to bound memory:
@@ -412,7 +469,7 @@ class FastClassifier:
             min_match=20)
         self._s1 = jax.jit(s1)
         self._s2 = jax.jit(s2)
-        self._s3 = jax.jit(s3, static_argnames=("B2",))
+        self._s3 = jax.jit(s3, static_argnames=("B2", "nwR"))
         self._s4 = jax.jit(s4, static_argnames=("B2", "K"))
         self._code = np.full(256, 1, np.uint8)
         for j, b in enumerate(b"ACGT"):
@@ -437,11 +494,13 @@ class FastClassifier:
         lo26, kidx, runlen, n_exist = self._s1(
             self.ek.w0, self.ek.w1, codes2, lengths2)
         codes_i = codes2.astype(jnp.int32)
-        fsp, hit, tot, lane_r, s_idx_r = self._s2(
+        fsp, hit, tot, qleft, sel = self._s2(
             self.fm, codes_i, lengths2, lo26, kidx, runlen)
         B2 = codes2.shape[0]
+        nwR = kidx.shape[1] * ROWS_PER_SEARCH
         ref_c, diag_c, vote_c = self._s3(
-            self.fm, self.loc, lengths2, fsp, hit, tot, s_idx_r, B2=B2)
+            self.fm, self.loc, lengths2, fsp, hit, tot, qleft, sel,
+            B2=B2, nwR=nwR)
         W = codes2.shape[1]
         out = self._s4(self.ra, codes_i, lengths2, ref_c, diag_c, vote_c,
                        B2=B2, K=2 * _band(W))
@@ -475,13 +534,13 @@ class FastClassifier:
 
         sm34_cache: dict = {}
 
-        def sm3(B2l: int):
-            key = ("s3", B2l)
+        def sm3(B2l: int, nwR: int):
+            key = ("s3", B2l, nwR)
             if key not in sm34_cache:
                 sm34_cache[key] = jax.jit(shard_map(
-                    partial(s3, B2=B2l), mesh=mesh,
+                    partial(s3, B2=B2l, nwR=nwR), mesh=mesh,
                     in_specs=(fm_specs, loc_specs, P("data"), P("data"),
-                              P("data"), P("data"), P("data")),
+                              P("data"), P("data"), P("data"), P("data")),
                     out_specs=(P("data"), P("data"), P("data")),
                     check_vma=False))
             return sm34_cache[key]
@@ -523,12 +582,13 @@ class FastClassifier:
         lo26, kidx, runlen, n_exist = self._sm1(
             self._w0_r, self._w1_r, codes2, lengths2)
         codes_i = codes2.astype(jnp.int32)
-        fsp, hit, tot, lane_r, s_idx_r = self._sm2(
+        fsp, hit, tot, qleft, sel = self._sm2(
             self._fm_r, codes_i, lengths2, lo26, kidx, runlen)
         n_data = self.mesh.shape["data"]
         B2l = codes2.shape[0] // n_data
-        ref_c, diag_c, vote_c = self._sm3(B2l)(
-            self._fm_r, self._loc_r, lengths2, fsp, hit, tot, s_idx_r)
+        nwR = kidx.shape[1] * ROWS_PER_SEARCH
+        ref_c, diag_c, vote_c = self._sm3(B2l, nwR)(
+            self._fm_r, self._loc_r, lengths2, fsp, hit, tot, qleft, sel)
         W = codes2.shape[1]
         out = self._sm4(B2l, 2 * _band(W))(
             self._ra_r, codes_i, lengths2, ref_c, diag_c, vote_c)
@@ -592,7 +652,11 @@ class FastClassifier:
             for s0 in range(0, len(ids), block):
                 sub = ids[s0 : s0 + block]
                 chunk = [reads[i] for i in sub]
-                Bp = block if len(ids) > block else _pow2(len(sub), 8)
+                # full chunks pin Bp=block (one compiled shape); a partial
+                # tail drops to its own pow2 so 100 leftover reads don't pay
+                # a full block's device time (at most log2(block) tail
+                # shapes ever compile)
+                Bp = block if len(sub) == block else _pow2(len(sub), 8)
                 if self.mesh is not None:
                     n_data = self.mesh.shape["data"]
                     Bp += (-Bp) % n_data  # rows must split over 'data'

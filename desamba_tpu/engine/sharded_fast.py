@@ -207,9 +207,10 @@ class ShardedFastClassifier(FastClassifier):
                      lo26[0], kidx[0], runlen[0])
             return tuple(x[None] for x in out)
 
-        def b3(fm, loc, lengths2, fsp, hit, tot, s_idx_r, B2):
+        def b3(fm, loc, lengths2, fsp, hit, tot, qleft, sel, B2, nwR):
             out = s3(_local(fm), _local(loc), lengths2,
-                     fsp[0], hit[0], tot[0], s_idx_r[0], B2=B2)
+                     fsp[0], hit[0], tot[0], qleft[0], sel[0],
+                     B2=B2, nwR=nwR)
             return tuple(x[None] for x in out)
 
         def b4(ra, ref_map, codes_i, lengths2, ref_c, diag_c, vote_c,
@@ -265,13 +266,13 @@ class ShardedFastClassifier(FastClassifier):
             out_specs=(DI,) * 5, check_vma=False))
         cache: dict = {}
 
-        def sm3(B2l):
-            key = ("s3", B2l)
+        def sm3(B2l, nwR):
+            key = ("s3", B2l, nwR)
             if key not in cache:
                 cache[key] = jax.jit(shard_map(
-                    partial(b3, B2=B2l), mesh=mesh,
+                    partial(b3, B2=B2l, nwR=nwR), mesh=mesh,
                     in_specs=(IX(self.fm_s), IX(self.loc_s), P("data"),
-                              DI, DI, DI, DI),
+                              DI, DI, DI, DI, DI),
                     out_specs=(DI,) * 3, check_vma=False))
             return cache[key]
 
@@ -309,12 +310,15 @@ class ShardedFastClassifier(FastClassifier):
         lengths2 = jax.device_put(lengths2, data)
         lo26, kidx, runlen, n_exist = self._sm1(self.ek_s, codes2, lengths2)
         codes_i = codes2.astype(jnp.int32)
-        fsp, hit, tot, lane_r, s_idx_r = self._sm2(
+        fsp, hit, tot, qleft, sel = self._sm2(
             self.fm_s, codes_i, lengths2, lo26, kidx, runlen)
         n_data = self.mesh.shape["data"]
         B2l = codes2.shape[0] // n_data
-        ref_c, diag_c, vote_c = self._sm3(B2l)(
-            self.fm_s, self.loc_s, lengths2, fsp, hit, tot, s_idx_r)
+        from .fast_engine import ROWS_PER_SEARCH
+
+        nwR = kidx.shape[2] * ROWS_PER_SEARCH
+        ref_c, diag_c, vote_c = self._sm3(B2l, nwR)(
+            self.fm_s, self.loc_s, lengths2, fsp, hit, tot, qleft, sel)
         W = codes2.shape[1]
         res4 = self._sm4(B2l, 2 * _band(W))(
             self.ra_s, self.ref_map, codes_i, lengths2,

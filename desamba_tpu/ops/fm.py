@@ -96,10 +96,10 @@ def lf_cur(fm: FmArrays, r):
     return c, nxt
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "return_state"))
 def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
                     max_rst, l_min, l_max, max_steps: int = 4096,
-                    lanes=None):
+                    lanes=None, state=None, return_state: bool = False):
     """Lockstep main loop of bwt_MEM_search (cly.c:1399-1417).
 
     bin2: int32[B, W] padded read codes (both strands concatenated rows);
@@ -111,11 +111,18 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
               1 = returned 0 (l_max reached)
       sp, ep: the final new interval; match_len: chars before the break char;
       ptr: index of the next unread char (for the row walks).
+
+    `state`/`return_state` support iterate-compact-iterate (the caller runs
+    a few lockstep steps on every lane, compacts the survivors, and resumes
+    only those — done lanes would otherwise keep paying the occ gathers of
+    every remaining iteration): return_state=True returns the raw carry
+    (sp/ep/nsp/nep/match_len/ptr/done/status); passing it (sliced) back as
+    `state` resumes exactly where the previous call stopped.
     """
     B = sp0.shape[0]
     i32 = jnp.int32
     L_PRE = 13
-    state = dict(
+    state = state if state is not None else dict(
         sp=jnp.asarray(sp0, i32),
         ep=jnp.asarray(ep0, i32),
         nsp=jnp.zeros(B, i32),
@@ -135,8 +142,11 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
         valid_c = ch <= 5
         cc = jnp.clip(ch, 0, 5).astype(i32)
         c_occ = jnp.clip(cc, 0, 4)
-        nsp = fm.rank[cc] + occ(fm, st["sp"], c_occ)
-        nep = fm.rank[cc] + occ(fm, st["ep"], c_occ)
+        # one fused occ over [sp; ep]: halves the gather dispatches per step
+        both = occ(fm, jnp.concatenate([st["sp"], st["ep"]]),
+                   jnp.concatenate([c_occ, c_occ]))
+        nsp = fm.rank[cc] + both[:B]
+        nep = fm.rank[cc] + both[B:]
         nsp = jnp.where(valid_c, nsp, 0)
         nep = jnp.where(valid_c, nep, 0)
         ml = st["match_len"]
@@ -170,15 +180,18 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
         return cond(st) & (it < max_steps)
 
     state, _ = jax.lax.while_loop(cond2, body2, (state, 0))
+    if return_state:
+        return state
     return dict(
         sp=state["nsp"], ep=state["nep"], match_len=state["match_len"],
         ptr=state["ptr"], status=state["status"],
     )
 
 
-@partial(jax.jit, static_argnames=("trace_cap", "with_trace"))
+@partial(jax.jit, static_argnames=("trace_cap", "with_trace", "return_state"))
 def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
-              trace_cap: int = 96, lanes=None, with_trace: bool = True):
+              trace_cap: int = 96, lanes=None, with_trace: bool = True,
+              state=None, return_state: bool = False):
     """Lockstep bwt_single_search (cly.c:1339-1378) WITHOUT the sp_set
     dedup (the host replays dedup from the returned row trace).
 
@@ -214,7 +227,7 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
             bad | (act & is_bad & (n < max_lens)),
         ), out_row
 
-    init = (
+    init = state if state is not None else (
         jnp.asarray(start_rows, i32),
         jnp.asarray(ptrs, i32),
         jnp.zeros(B, i32),
@@ -238,8 +251,10 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
             nst, _ = step(st, None)
             return nst, it + 1
 
-        (sp_f, ptr_f, n_f, done_f, bad_f), _ = jax.lax.while_loop(
-            cond, body, (init, 0))
+        fin, _ = jax.lax.while_loop(cond, body, (init, 0))
+        if return_state:  # resumable carry for iterate-compact-iterate
+            return fin
+        (sp_f, ptr_f, n_f, done_f, bad_f) = fin
         trace = None
     overflow = ~done_f  # still matching after trace_cap steps
     # stop reason: max-len stop excludes the final row from SA tracking

@@ -171,6 +171,10 @@ def test_band_score_jnp_brute_force():
     win = rng.integers(0, 4, (B, W + K - 1)).astype(np.int32)
     win[1, 50:100] = read[1, 40:90]   # planted MEM on diagonal k=10
     win[2, 3 : W + 3] = read[2, :W]   # full-length match on k=3
+    # out-of-genome sentinel (255, refwin.gather_band_windows) must NEVER
+    # match — incl. against the int8 halo (255 as int8 == -1)
+    win[3, :] = 255
+    win[3, 10:40] = read[3, 1:31]
     out = {k: np.asarray(v) for k, v in
            band_score_jnp(read, rlen, win, K=K).items()}
     for b in range(B):
@@ -179,7 +183,8 @@ def test_band_score_jnp_brute_force():
             hit = False
             for k in range(K):
                 m, qq = 0, q
-                while 0 <= qq < rlen[b] and read[b, qq] == win[b, qq + k]:
+                while (0 <= qq < rlen[b] and win[b, qq + k] < 4
+                       and read[b, qq] == win[b, qq + k]):
                     m += 1
                     qq -= 1
                 if m >= 9:
