@@ -200,6 +200,12 @@ def _ensure_ref_binary():
 
 
 def bench_reference(idx_dir, fq, n_threads):
+    """Times the reference binary in 512-read chunks: certain reads crash
+    it outright (a reference bug — xassert abort in binchar2Kmer via the
+    classify hot path; the oracle/native engines model those reads as
+    `aborted`, tests/test_native_engine.py), so a single full-file run can
+    die mid-way. Crashing chunks are skipped and logged; throughput is
+    summed over the surviving chunks."""
     if not _ensure_ref_binary():
         return None
     cachef = os.path.join(CACHE, f"ref_rps_t{n_threads}_n{N_READS}.txt")
@@ -207,17 +213,33 @@ def bench_reference(idx_dir, fq, n_threads):
         rps = float(open(cachef).read())
         log(f"bench: reference C (-t {n_threads}) cached = {rps:.2f} reads/s")
         return rps
-    t0 = time.time()
-    p = subprocess.run([REF_BIN, "classify", "-t", str(n_threads), idx_dir, fq],
-                       capture_output=True)
-    dt = time.time() - t0
-    if p.returncode != 0:
+    lines = open(fq).read().splitlines(keepends=True)
+    n_total = len(lines) // 4
+    chunk = 512
+    n_ok, t_ok, n_crash = 0, 0.0, 0
+    for c0 in range(0, n_total, chunk):
+        part = os.path.join(CACHE, "ref_chunk.fq")
+        with open(part, "w") as f:
+            f.writelines(lines[4 * c0 : 4 * (c0 + chunk)])
+        n = min(chunk, n_total - c0)
+        t0 = time.time()
+        p = subprocess.run([REF_BIN, "classify", "-t", str(n_threads),
+                            idx_dir, part], capture_output=True)
+        dt = time.time() - t0
+        if p.returncode != 0:
+            n_crash += 1
+            continue
+        n_ok += n
+        t_ok += dt
+    if not n_ok:
         return None
-    n = sum(1 for _ in open(fq)) // 4
-    rps = n / dt
+    if n_crash:
+        log(f"bench: reference C crashed on {n_crash} chunk(s) "
+            f"(reference xassert bug; skipped)")
+    rps = n_ok / t_ok
     with open(cachef, "w") as f:
         f.write(str(rps))
-    log(f"bench: reference C (-t {n_threads}) {n} reads in {dt:.2f}s = "
+    log(f"bench: reference C (-t {n_threads}) {n_ok} reads in {t_ok:.2f}s = "
         f"{rps:.2f} reads/s")
     return rps
 

@@ -259,7 +259,8 @@ def cmd_analysis(argv):
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: desamba-tpu {kmersort|index|classify|analysis|fqx} ...",
+        print("usage: desamba-tpu {kmersort|index|classify|analysis|fqx|"
+              "test_cpp} ...",
               file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
@@ -278,6 +279,10 @@ def main(argv=None):
             from .tools.fqx import main as fqx_main
 
             return fqx_main(rest)
+        if cmd == "test_cpp":
+            # the reference's build-sanity stub (main.c:44, test_cpp.c:11)
+            print("END main_test_cpp!", file=sys.stderr)
+            return 0
         print(f"unknown command [{cmd}]", file=sys.stderr)
         return 1
     finally:

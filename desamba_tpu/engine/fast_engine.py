@@ -1,8 +1,13 @@
 """Fully device-resident batched classifier ("fast mode").
 
-The north-star pipeline (BASELINE.json) as four device dispatches per
-read batch — results stay on device between stages; no host sync:
+The north-star pipeline (BASELINE.json) as ONE device dispatch per read
+batch (stages below fused into a single program, _build_full; through a
+tunneled chip each dispatch costs a ~25 ms client round trip and the
+split pipeline paid it 6x). The wire format is 2-bit packed forward
+strand only — stage0_unpack derives the RC rows on device, an 8x H2D
+reduction over the old uint8 both-strand matrix:
 
+  stage0  2-bit unpack + reverse-complement row derivation
   stage1  exist-filter probe + per-window top-seed selection
           (cly.c:1066-1155 / cly.c:1157-1229 analogs; ops/ekmer.py,
           ops/seeds.py)
@@ -23,10 +28,11 @@ read batch — results stay on device between stages; no host sync:
           i.e. sum over band MEMs of (len - 8): the same unit the
           reference SDP accumulates into sum_score (cly.c:2330-2435).
 
-The multi-dispatch split is deliberate: fusing the whole pipeline into
-ONE jit sends XLA:TPU's scheduler into a pathological fusion (compile
-minutes, runtime 100x slower); as separate programs each compiles in
-seconds and the batch runs in milliseconds.
+(Historical note: in round 1 fusing the then-straight-line pipeline into
+one jit hit a pathological XLA fusion — compile minutes, 100x runtime.
+The current stages contain while_loops and scatter compactions that act
+as scheduling barriers, and the fused program now compiles and runs at
+split-pipeline speed, so the fusion is back on.)
 
 Unlike engine/tpu_engine.py (bit-exact hybrid, host replay), this path
 trades byte-identical SAM for throughput: results carry (ref, direction,
@@ -95,6 +101,35 @@ def _enable_compile_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass  # older jax: cache simply not persisted
+
+
+def stage0_unpack(packed, lens):
+    """Device-side decode of the wire format: packed uint8[Bp, W//4] holds
+    4 codes/byte little-endian (code j = (byte[j>>2] >> (2*(j&3))) & 3,
+    zero-padded past lens). Returns (codes2 uint8[2Bp, W], lengths2
+    int32[2Bp]) — forward rows then per-row reversed-complement rows.
+
+    Deriving the RC strand here instead of on the host quarters the H2D
+    bytes twice over (2 bits/code x fwd only = 8x less than the old
+    uint8 both-strand matrix): on a latency/bandwidth-bound host link
+    the transfer was the single largest per-chunk cost."""
+    import jax.numpy as jnp
+
+    Bp, Wq = packed.shape
+    W = Wq * 4
+    pos = jnp.arange(W, dtype=jnp.int32)
+    # repeat + per-column shift. (A static-shift-plane stack+reshape —
+    # 4 shifts and an interleave — measured SLOWER on v5e: the [Bp, Wq, 4]
+    # -> [Bp, W] reshape is a lane relayout.)
+    b = jnp.repeat(packed, 4, axis=1)
+    fwd = (b >> ((pos & 3) << 1).astype(jnp.uint8)) & 3
+    lens = jnp.asarray(lens, jnp.int32)
+    ridx = jnp.clip(lens[:, None] - 1 - pos[None, :], 0, W - 1)
+    rc = jnp.where(pos[None, :] < lens[:, None],
+                   3 - jnp.take_along_axis(fwd, ridx, axis=1),
+                   0).astype(jnp.uint8)
+    return (jnp.concatenate([fwd, rc], axis=0),
+            jnp.concatenate([lens, lens]))
 
 
 def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
@@ -348,6 +383,38 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
     return stage1, stage2, stage3, stage4
 
 
+def _build_full(lek: int, sbm: int, mask_bits: int, min_match: int):
+    """The whole pipeline (stage0 unpack + stages 1-4 + result pack) as ONE
+    program: through a tunneled/remote chip every dispatch costs a ~25 ms
+    client round trip, so 6 dispatches/chunk were pure overhead. The old
+    pathological-fusion concern (module docstring r1) no longer applies:
+    stages 2/3 now contain while_loops and scatter compactions that act as
+    scheduling barriers, and the fused program compiles and runs at the
+    same per-stage speed as the split one (measured on v5e)."""
+    import jax.numpy as jnp
+
+    s1, s2, s3, s4 = _build_stages(lek, sbm, mask_bits, min_match)
+
+    def full(fm, loc, ra, w0, w1, packed, lens):
+        codes2, lengths2 = stage0_unpack(packed, lens)
+        lo26, kidx, runlen, n_exist = s1(w0, w1, codes2, lengths2)
+        codes_i = codes2.astype(jnp.int32)
+        fsp, hit, tot, qleft, sel = s2(fm, codes_i, lengths2, lo26, kidx,
+                                       runlen)
+        B2 = codes2.shape[0]
+        nwR = kidx.shape[1] * ROWS_PER_SEARCH
+        ref_c, diag_c, vote_c = s3(fm, loc, lengths2, fsp, hit, tot, qleft,
+                                   sel, B2=B2, nwR=nwR)
+        W = codes2.shape[1]
+        out = s4(ra, codes_i, lengths2, ref_c, diag_c, vote_c, B2=B2,
+                 K=2 * _band(W))
+        B = B2 // 2
+        ne = n_exist[:B] + n_exist[B:]
+        return jnp.stack([out[k] for k in PACK_KEYS] + [ne])
+
+    return full
+
+
 @dataclass
 class FastResult:
     name: str
@@ -372,50 +439,33 @@ def _score_threshold(read_len: int, filter_min_score: int,
     return filter_min_score + 10, filter_min_score
 
 
-# packed result-row order: one [7|8, Bp] int32 array leaves the device per
+# packed result-row order: one [7, Bp] int32 array leaves the device per
 # chunk (a SINGLE D2H — on latency-bound interconnects like a tunneled chip
 # every separate fetch costs ~10s of ms, so the 7 per-read outputs are
-# stacked on device and fetched together)
+# stacked on device and fetched together; row 6 = strand-folded n_exist)
 PACK_KEYS = ("score", "ref", "direction", "cov", "pos", "score_alt")
 
 
-_PACKERS: dict = {}
+_PACK7 = None
 
 
-def _packer(n: int):
-    """Jitted device-side result pack: 7 rows (single device, row 6 =
-    strand-folded n_exist) or 8 rows (mesh, rows 6-7 = raw n_exist
-    halves; the host de-interleaves)."""
-    if n not in _PACKERS:
+def _pack7():
+    """Jitted [7, Bp] result pack for callers that run the stages
+    separately (the sharded engine); `full` packs inline."""
+    global _PACK7
+    if _PACK7 is None:
         import jax
         import jax.numpy as jnp
 
-        if n == 7:
-            def pack(out, n_exist):
-                B = out["score"].shape[0]
-                ne = n_exist[:B] + n_exist[B:]
-                return jnp.stack([out[k] for k in PACK_KEYS] + [ne])
-        else:
-            def pack(out, n_exist):
-                a, b = jnp.split(n_exist, 2, axis=-1)
-                return jnp.stack([out[k] for k in PACK_KEYS] + [a, b])
-        _PACKERS[n] = jax.jit(pack)
-    return _PACKERS[n]
+        _PACK7 = jax.jit(
+            lambda out, ne: jnp.stack([out[k] for k in PACK_KEYS] + [ne]))
+    return _PACK7
 
 
-def _unpack_rows(arr: "np.ndarray", B: int, order) -> dict:
-    """Inverse of the device-side pack: [7, Bp] (single device; row 6 =
-    folded n_exist) or [8, Bp] (mesh; rows 6-7 = n_exist halves in the
-    shard-interleaved row order `order`)."""
+def _unpack_rows(arr: "np.ndarray", B: int) -> dict:
+    """Inverse of the device-side pack ([7, Bp] int32)."""
     res = {k: arr[i, :B] for i, k in enumerate(PACK_KEYS)}
-    if order is None:
-        res["n_exist"] = arr[6, :B]
-    else:
-        Bp = arr.shape[1]
-        n2 = np.concatenate([arr[6], arr[7]])
-        n_orig = np.empty_like(n2)
-        n_orig[order] = n2
-        res["n_exist"] = n_orig[:B] + n_orig[Bp : Bp + B]
+    res["n_exist"] = arr[6, :B]
     return res
 
 
@@ -446,7 +496,8 @@ class FastClassifier:
     def __init__(self, oi, min_score: int = DEFAULT_MIN_SCORE,
                  filter_min_length: int = DEFAULT_FILTER_MIN_LENGTH,
                  mesh=None, exact_fallback: bool = True,
-                 fallback_threads: int | None = None):
+                 fallback_threads: int | None = None,
+                 max_width: int = 8192):
         _enable_compile_cache()
         import jax
 
@@ -464,13 +515,9 @@ class FastClassifier:
         self.ra = RefArrays(ti)
         self.min_score = min_score
         self.filter_min_length = filter_min_length
-        s1, s2, s3, s4 = _build_stages(
+        self._full = jax.jit(_build_full(
             self.ek.lek, self.ek.single_base_max, self.ek.mask_bits,
-            min_match=20)
-        self._s1 = jax.jit(s1)
-        self._s2 = jax.jit(s2)
-        self._s3 = jax.jit(s3, static_argnames=("B2", "nwR"))
-        self._s4 = jax.jit(s4, static_argnames=("B2", "K"))
+            min_match=20))
         self._code = np.full(256, 1, np.uint8)
         for j, b in enumerate(b"ACGT"):
             self._code[b] = j
@@ -480,86 +527,39 @@ class FastClassifier:
         if mesh is not None:
             self._shard_stages(mesh)
         self.exact_fallback = exact_fallback
+        self.max_width = max_width
         self._fallback_threads = fallback_threads or min(
             8, os.cpu_count() or 1)
         self._native = None  # built lazily on first ambiguous read
         self.stats = dict(n_reads=0, n_fallback=0)
 
-    def _run(self, codes2, lengths2):
-        """Single-device 4-dispatch pipeline; intermediates stay on device."""
-        import jax.numpy as jnp
-
-        codes2 = jnp.asarray(codes2)
-        lengths2 = jnp.asarray(lengths2)
-        lo26, kidx, runlen, n_exist = self._s1(
-            self.ek.w0, self.ek.w1, codes2, lengths2)
-        codes_i = codes2.astype(jnp.int32)
-        fsp, hit, tot, qleft, sel = self._s2(
-            self.fm, codes_i, lengths2, lo26, kidx, runlen)
-        B2 = codes2.shape[0]
-        nwR = kidx.shape[1] * ROWS_PER_SEARCH
-        ref_c, diag_c, vote_c = self._s3(
-            self.fm, self.loc, lengths2, fsp, hit, tot, qleft, sel,
-            B2=B2, nwR=nwR)
-        W = codes2.shape[1]
-        out = self._s4(self.ra, codes_i, lengths2, ref_c, diag_c, vote_c,
-                       B2=B2, K=2 * _band(W))
-        return _packer(7)(out, n_exist)  # [7, B] — ONE device array out
+    def _run(self, packed, lens):
+        """Single-device ONE-dispatch pipeline: unpack+RC, stages 1-4 and
+        the result pack fused into one program (see _build_full)."""
+        return self._full(self.fm, self.loc, self.ra, self.ek.w0,
+                          self.ek.w1, packed, lens)
 
     def _shard_stages(self, mesh):
         """Data-parallel variant: reads sharded over 'data', index
-        replicated (SURVEY.md section 2.2). Each stage is its own
-        jit(shard_map(...)); per-shard rows carry [fwd_i; rc_i] pairs so
-        the strand split at local B2//2 stays shard-local."""
+        replicated (SURVEY.md section 2.2). The fused program runs
+        shard-locally — each shard unpacks its own packed rows, derives
+        both strands (so strand pairs are shard-local by construction)
+        and emits its [7, Bl] result slice; the global [7, Bp] array is
+        already in original read order."""
         import jax
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        s1, s2, s3, s4 = _build_stages(self.ek.lek, self.ek.single_base_max,
-                                       self.ek.mask_bits, min_match=20)
+        full = _build_full(self.ek.lek, self.ek.single_base_max,
+                           self.ek.mask_bits, min_match=20)
         fm_specs = jax.tree_util.tree_map(lambda _: P(), self.fm)
         loc_specs = jax.tree_util.tree_map(lambda _: P(), self.loc)
         ra_specs = jax.tree_util.tree_map(lambda _: P(), self.ra)
-        self._sm1 = jax.jit(shard_map(
-            s1, mesh=mesh, in_specs=(P(), P(), P("data"), P("data")),
-            out_specs=(P("data"), P("data"), P("data"), P("data")),
-            check_vma=False))
-        self._sm2 = jax.jit(shard_map(
-            s2, mesh=mesh,
-            in_specs=(fm_specs, P("data"), P("data"), P("data"), P("data"),
-                      P("data")),
-            out_specs=(P("data"), P("data"), P("data"), P("data"),
-                       P("data")),
-            check_vma=False))
-
-        sm34_cache: dict = {}
-
-        def sm3(B2l: int, nwR: int):
-            key = ("s3", B2l, nwR)
-            if key not in sm34_cache:
-                sm34_cache[key] = jax.jit(shard_map(
-                    partial(s3, B2=B2l, nwR=nwR), mesh=mesh,
-                    in_specs=(fm_specs, loc_specs, P("data"), P("data"),
-                              P("data"), P("data"), P("data"), P("data")),
-                    out_specs=(P("data"), P("data"), P("data")),
-                    check_vma=False))
-            return sm34_cache[key]
-
-        def sm4(B2l: int, K: int):
-            key = ("s4", B2l, K)
-            if key not in sm34_cache:
-                sm34_cache[key] = jax.jit(shard_map(
-                    partial(s4, B2=B2l, K=K), mesh=mesh,
-                    in_specs=(ra_specs, P("data"), P("data"), P("data"),
-                              P("data"), P("data")),
-                    out_specs=dict(score=P("data"), ref=P("data"),
-                                   direction=P("data"), cov=P("data"),
-                                   pos=P("data"), score_alt=P("data")),
-                    check_vma=False))
-            return sm34_cache[key]
-
-        self._sm3 = sm3
-        self._sm4 = sm4
+        self._smfull = jax.jit(shard_map(
+            full, mesh=mesh,
+            in_specs=(fm_specs, loc_specs, ra_specs, P(), P(),
+                      P("data"), P("data")),
+            out_specs=P(None, "data"), check_vma=False))
         self._smesh = mesh
         repl = NamedSharding(mesh, P())
         self._fm_r = jax.tree_util.tree_map(
@@ -571,39 +571,28 @@ class FastClassifier:
         self._w0_r = jax.device_put(self.ek.w0, repl)
         self._w1_r = jax.device_put(self.ek.w1, repl)
 
-    def _run_mesh(self, codes2, lengths2):
+    def _run_mesh(self, packed, lens):
         import jax
-        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(self.mesh, P("data"))
-        codes2 = jax.device_put(codes2, data)
-        lengths2 = jax.device_put(lengths2, data)
-        lo26, kidx, runlen, n_exist = self._sm1(
-            self._w0_r, self._w1_r, codes2, lengths2)
-        codes_i = codes2.astype(jnp.int32)
-        fsp, hit, tot, qleft, sel = self._sm2(
-            self._fm_r, codes_i, lengths2, lo26, kidx, runlen)
-        n_data = self.mesh.shape["data"]
-        B2l = codes2.shape[0] // n_data
-        nwR = kidx.shape[1] * ROWS_PER_SEARCH
-        ref_c, diag_c, vote_c = self._sm3(B2l, nwR)(
-            self._fm_r, self._loc_r, lengths2, fsp, hit, tot, qleft, sel)
-        W = codes2.shape[1]
-        out = self._sm4(B2l, 2 * _band(W))(
-            self._ra_r, codes_i, lengths2, ref_c, diag_c, vote_c)
-        # [8, Bp]: per-read rows in original order, n_exist halves still in
-        # the shard-interleaved row order (host undoes it at drain time)
-        return _packer(8)(out, n_exist)
+        packed = jax.device_put(packed, data)
+        lens = jax.device_put(lens, data)
+        return self._smfull(self._fm_r, self._loc_r, self._ra_r,
+                            self._w0_r, self._w1_r, packed, lens)
 
     # ------------------------------------------------------------ encode --
     def _encode(self, reads, W: int | None = None, Bp: int | None = None):
-        """Vectorized encode into shape buckets (pow2 width AND row count)
-        so batches of any size reuse one compiled pipeline per bucket.
-        One byte-table lookup over the concatenated batch — no per-read
-        Python loop (the kt_pipeline step-0 analog must keep pace with the
+        """Vectorized encode into the 2-bit wire format (see stage0_unpack)
+        in shape buckets (pow2 width AND row count) so batches of any size
+        reuse one compiled pipeline per bucket. One byte-table lookup over
+        the concatenated batch — no per-read Python inner work beyond a
+        row memcpy (the kt_pipeline step-0 analog must keep pace with the
         device, VERDICT r1 weak #9). W/Bp pin the bucket shape so callers
-        can hold the set of compiled programs fixed across chunks."""
+        can hold the set of compiled programs fixed across chunks.
+
+        Returns (packed uint8[Bp, W//4], lens_p int32[Bp], lens int32[B]):
+        forward strand only — the device derives the RC rows."""
         lens = np.array([len(r[1]) for r in reads], np.int32)
         if W is None:
             W = _pow2(max(int(lens.max()), self.ek.lek + 2), 256)
@@ -612,19 +601,18 @@ class FastClassifier:
             Bp = _pow2(B, 8)
         flat = self._code[np.frombuffer(
             b"".join(r[1] for r in reads), np.uint8)]
-        inv = 3 - flat
         off = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
-        codes2 = np.zeros((2 * Bp, W), np.uint8)
+        codes = np.zeros((Bp, W), np.uint8)
         # per-read row fills: contiguous memcpy per read beats a 2D fancy
         # scatter with [total_bp] int64 index arrays ~6x at these shapes
         for i in range(B):
             o0, o1 = off[i], off[i + 1]
-            codes2[i, : o1 - o0] = flat[o0:o1]
-            codes2[Bp + i, : o1 - o0] = inv[o0:o1][::-1]
-        lengths2 = np.zeros(2 * Bp, np.int32)
-        lengths2[:B] = lens
-        lengths2[Bp : Bp + B] = lens
-        return codes2, lengths2, lens
+            codes[i, : o1 - o0] = flat[o0:o1]
+        packed = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+                  | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+        lens_p = np.zeros(Bp, np.int32)
+        lens_p[:B] = lens
+        return packed, lens_p, lens
 
     # ----------------------------------------------------------- classify --
     def classify_batch(self, reads, block: int = 512) -> list[FastResult]:
@@ -636,14 +624,18 @@ class FastClassifier:
         count is pinned to `block` so each bucket compiles exactly once."""
         out: list = [None] * len(reads)
         by_bucket: dict[int, list[int]] = {}
+        long_ids: list[int] = []
         for i, r in enumerate(reads):
+            if len(r[1]) > self.max_width:
+                long_ids.append(i)  # block-partitioned separately below
+                continue
             Wb = _pow2(max(len(r[1]), self.ek.lek + 2), 256)
             by_bucket.setdefault(Wb, []).append(i)
         pending: list = []
 
         def drain():
-            sub, chunk, lens, handles, order = pending.pop(0)
-            res = _unpack_rows(np.asarray(handles), len(chunk), order)
+            sub, chunk, lens, handles = pending.pop(0)
+            res = _unpack_rows(np.asarray(handles), len(chunk))
             for j, fr in zip(sub, self._format(chunk, lens, res)):
                 out[j] = fr
 
@@ -660,35 +652,130 @@ class FastClassifier:
                 if self.mesh is not None:
                     n_data = self.mesh.shape["data"]
                     Bp += (-Bp) % n_data  # rows must split over 'data'
-                handles, lens, order = self._dispatch_chunk(chunk, Wb, Bp)
-                pending.append((sub, chunk, lens, handles, order))
+                handles, lens = self._dispatch_chunk(chunk, Wb, Bp)
+                pending.append((sub, chunk, lens, handles))
                 while len(pending) > 1:
                     drain()
         while pending:
             drain()
+        if long_ids:
+            self._classify_long(reads, long_ids, out, block)
         return out
 
+    # ------------------------------------------------- very long reads --
+    # Reads beyond max_width are classified by BLOCK PARTITIONING (the
+    # sequence-parallel analog of SURVEY.md section 5 "long-context"): the
+    # read is cut into max_width segments overlapping by LONG_OVERLAP, each
+    # segment runs through the same device pipeline, and per-segment scores
+    # are summed per genome — valid because the band-MEM score counts read
+    # positions starting a >= 9 bp match, which is additive over the read
+    # (the reference instead carries its chains across the whole read,
+    # cly.c:200-322; a segment boundary can split one MEM, costing <= 8
+    # score units per cut, and overlap regions count twice — both effects
+    # are inside the AMB_MARGIN exact-replay guard).
+    LONG_OVERLAP = 512
+
+    def _classify_long(self, reads, ids, out, block):
+        SEG = self.max_width
+        OV = self.LONG_OVERLAP
+        seg_of: dict[int, list[int]] = {}
+        segs: list = []  # (read_idx, seg_start, (name, segseq, None))
+        for i in ids:
+            name, seq, _q = reads[i]
+            L = len(seq)
+            starts = list(range(0, L - SEG, SEG - OV)) + [L - SEG]
+            seg_of[i] = starts
+            for s0 in starts:
+                segs.append((i, s0, (name, seq[s0 : s0 + SEG], None)))
+        rows: dict = {}
+        pending: list = []
+
+        def drain():
+            sub, handles = pending.pop(0)
+            arr = np.asarray(handles)
+            res = _unpack_rows(arr, len(sub))
+            for j, (ri, ss, _) in enumerate(sub):
+                rows[(ri, ss)] = {k: int(v[j]) for k, v in res.items()}
+
+        Wb = _pow2(SEG, 256)
+        for c0 in range(0, len(segs), block):
+            sub = segs[c0 : c0 + block]
+            chunk = [s[2] for s in sub]
+            Bp = block if len(sub) == block else _pow2(len(sub), 8)
+            if self.mesh is not None:
+                Bp += (-Bp) % self.mesh.shape["data"]
+            handles, _lens = self._dispatch_chunk(chunk, Wb, Bp)
+            pending.append((sub, handles))
+            while len(pending) > 1:
+                drain()
+        while pending:
+            drain()
+
+        replay = []
+        self.stats["n_reads"] += len(ids)
+        for i in ids:
+            name, seq, qual = reads[i]
+            L = len(seq)
+            acc: dict[int, int] = {}
+            cov: dict[int, int] = {}
+            dirv: dict[tuple, int] = {}
+            first_pos: dict[int, int] = {}
+            n_exist = 0
+            alt_floor = 0  # best single-segment other-genome score
+            for ss in seg_of[i]:
+                row = rows[(i, ss)]
+                n_exist += row["n_exist"]
+                alt_floor = max(alt_floor, row["score_alt"])
+                rid = row["ref"]
+                if rid >= 0 and row["score"] > 0:
+                    acc[rid] = acc.get(rid, 0) + row["score"]
+                    cov[rid] = cov.get(rid, 0) + row["cov"]
+                    dirv[(rid, row["direction"])] = dirv.get(
+                        (rid, row["direction"]), 0) + row["score"]
+                    if rid not in first_pos:
+                        first_pos[rid] = max(row["pos"] - ss, 0)
+            if acc:
+                rid = max(acc, key=lambda r: (acc[r], -r))
+                sc = acc[rid]
+                second = max([v for r, v in acc.items() if r != rid],
+                             default=0)
+                second = max(second, alt_floor)
+                cv = cov[rid]
+                eff = sc + (cv >> 5)
+                thr, long_thr = _score_threshold(
+                    L, self.min_score, self.filter_min_length)
+                ok = eff >= thr or (long_thr and eff >= long_thr
+                                    and cv >= self.filter_min_length)
+                d = max((k for k in dirv if k[0] == rid),
+                        key=lambda k: dirv[k])[1]
+                ambiguous = (ok and sc - second <= AMB_MARGIN) or (
+                    not ok and eff >= thr - AMB_MARGIN)
+            else:
+                rid, sc, d, ok = -1, 0, 0, False
+                ambiguous = n_exist >= AMB_MIN_EXIST
+            if self.exact_fallback and ambiguous:
+                replay.append(i)
+                continue
+            out[i] = FastResult(
+                name=name, ref_ID=rid if ok else -1,
+                direction=d if ok else 0, score=sc, read_len=L,
+                pos=first_pos.get(rid, -1) if ok else -1)
+        if replay:
+            self.stats["n_fallback"] += len(replay)
+            for i, fr in zip(replay, self._replay([reads[i] for i in replay])):
+                out[i] = fr
+
     def _dispatch_chunk(self, reads, W=None, Bp=None):
-        """Encode + launch the device pipeline; returns (packed device
-        array, lens, order) without forcing a sync."""
-        codes2, lengths2, lens = self._encode(reads, W=W, Bp=Bp)
-        Bp = codes2.shape[0] // 2
+        """Encode + launch the device pipeline; returns (packed [7, Bp]
+        device array, lens) without forcing a sync. Result rows are in
+        original read order in both single-device and mesh modes (each
+        data shard derives its own strand pair, so no row interleave)."""
+        packed, lens_p, lens = self._encode(reads, W=W, Bp=Bp)
         if self.mesh is not None:
-            n_data = self.mesh.shape["data"]
-            assert Bp % n_data == 0, "pow2 bucket must divide mesh size"
-            # interleave so both strands of a read land on one shard:
-            # shard k gets reads [k*Bp/n .. (k+1)*Bp/n) fwd then their rc;
-            # each shard then emits its local B2//2 = per read results, in
-            # shard order == original read order (only the n_exist rows in
-            # the pack need de-interleaving, _unpack_rows)
-            per = Bp // n_data
-            order = []
-            for k in range(n_data):
-                order.extend(range(k * per, (k + 1) * per))
-                order.extend(range(Bp + k * per, Bp + (k + 1) * per))
-            order = np.array(order)
-            return self._run_mesh(codes2[order], lengths2[order]), lens, order
-        return self._run(codes2, lengths2), lens, None
+            assert packed.shape[0] % self.mesh.shape["data"] == 0, \
+                "pow2 bucket must divide mesh size"
+            return self._run_mesh(packed, lens_p), lens
+        return self._run(packed, lens_p), lens
 
     def _format(self, reads, lens, res):
         out = []

@@ -43,6 +43,8 @@ from .fast_engine import (
     _band,
     _build_stages,
     _enable_compile_cache,
+    _pack7,
+    stage0_unpack,
 )
 
 
@@ -179,6 +181,7 @@ class ShardedFastClassifier(FastClassifier):
         for j, b in enumerate(b"acgt"):
             self._code[b] = j
         self.exact_fallback = exact_fallback
+        self.max_width = 8192  # classify_batch long-read block partition cap
         self._fallback_threads = fallback_threads or min(
             8, os.cpu_count() or 1)
         self._native = None  # lazy host ShardedEngine for replays
@@ -197,10 +200,20 @@ class ShardedFastClassifier(FastClassifier):
         IX = lambda t: jax.tree_util.tree_map(lambda _: P("index"), t)  # noqa: E731
         DI = P("index", "data")  # per-(index, data)-shard intermediates
 
+        def b0(packed, lens):
+            # device-side unpack + RC (stage0_unpack): each data shard
+            # derives its own [fwd; rc] rows, so strand pairs stay
+            # shard-local and result rows keep original read order
+            return stage0_unpack(packed, lens)
+
         def b1(ek, codes2, lengths2):
+            import jax.numpy as jnp
+
             ek = _local(ek)
-            out = s1(ek.w0, ek.w1, codes2, lengths2)
-            return tuple(x[None] for x in out)
+            lo26, kidx, runlen, n_exist = s1(ek.w0, ek.w1, codes2, lengths2)
+            Bl = codes2.shape[0] // 2
+            ne = n_exist[:Bl] + n_exist[Bl:]  # strand fold, shard-local
+            return tuple(x[None] for x in (lo26, kidx, runlen, ne))
 
         def b2(fm, codes_i, lengths2, lo26, kidx, runlen):
             out = s2(_local(fm), codes_i, lengths2,
@@ -257,6 +270,9 @@ class ShardedFastClassifier(FastClassifier):
                 score_alt=jnp.maximum(alt, 0),
             )
 
+        self._sm0 = jax.jit(shard_map(
+            b0, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data")), check_vma=False))
         self._sm1 = jax.jit(shard_map(
             b1, mesh=mesh, in_specs=(IX(self.ek_s), P("data"), P("data")),
             out_specs=(DI,) * 4, check_vma=False))
@@ -300,15 +316,16 @@ class ShardedFastClassifier(FastClassifier):
             check_vma=False))
 
     # ---------------------------------------------------------------- run --
-    def _run_mesh(self, codes2, lengths2):
+    def _run_mesh(self, packed, lens):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(self.mesh, P("data"))
-        codes2 = jax.device_put(codes2, data)
-        lengths2 = jax.device_put(lengths2, data)
-        lo26, kidx, runlen, n_exist = self._sm1(self.ek_s, codes2, lengths2)
+        packed = jax.device_put(packed, data)
+        lens = jax.device_put(lens, data)
+        codes2, lengths2 = self._sm0(packed, lens)
+        lo26, kidx, runlen, ne_s = self._sm1(self.ek_s, codes2, lengths2)
         codes_i = codes2.astype(jnp.int32)
         fsp, hit, tot, qleft, sel = self._sm2(
             self.fm_s, codes_i, lengths2, lo26, kidx, runlen)
@@ -326,13 +343,11 @@ class ShardedFastClassifier(FastClassifier):
         out = self._sm5(res4)
         # exist-kmer evidence for the fallback gate: a read is replayable
         # if ANY shard saw seeds — max over shards, on device, packed into
-        # the single [8, Bp] result array (one D2H per chunk)
-        from .fast_engine import _packer
+        # the single [7, Bp] result array (one D2H per chunk)
+        ne = jax.jit(lambda x: x.max(axis=0))(ne_s)
+        return _pack7()(out, ne)
 
-        ne = jax.jit(lambda x: x.max(axis=0))(n_exist)
-        return _packer(8)(out, ne)
-
-    def _run(self, codes2, lengths2):  # pragma: no cover - mesh is required
+    def _run(self, packed, lens):  # pragma: no cover - mesh is required
         raise RuntimeError("ShardedFastClassifier always runs on its mesh")
 
     # ------------------------------------------------------------ fallback --

@@ -228,6 +228,10 @@ def band_score_jnp(read, rlen, win, K: int, q_block: int = 256):
               ) < rlen[:, None]
         # eq[b, t, k] = read[b, q0-H+t] == win[b, q0-H+t+k], pos valid
         eq = (rb[:, :, None] == wb[:, gi]) & qv[:, :, None]
+        # 9-wide sliding AND, one shifted slice per step. (A log-doubling
+        # cascade — 4 ANDs instead of 8 — measured SLOWER on v5e: the
+        # power-of-two lane-offset slices each cost a relayout that
+        # outweighs the saved ANDs.)
         hit = eq[:, H:, :]
         for i in range(1, SAK):
             hit = hit & eq[:, H - i : H - i + q_block, :]

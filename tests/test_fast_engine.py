@@ -327,3 +327,52 @@ def test_gather_band_windows_matches_byte_gather(golden_oracle_index):
     wa = np.asarray(gather_band_windows(ra, ref_id, g0a, n))
     wb = np.asarray(gather_windows(ra, ref_id, g0a, n))
     assert (wa == wb).all()
+
+
+def test_fast_engine_long_read_block_partitioning(golden_oracle_index):
+    """Reads beyond max_width are classified by overlapping-segment block
+    partitioning (SURVEY.md section 5 'long-context': the reference streams
+    arbitrarily long reads through chains, cly.c:200-322; the device path
+    sums per-segment band scores). A 7 kb read must classify to its source
+    genome with a score ~= the sum of its segment scores, and thresholds
+    must be applied at the whole-read level."""
+    import numpy as np
+
+    from desamba_tpu.engine.fast_engine import FastClassifier
+    from testdata import mutate_read
+
+    from desamba_tpu.io.fastx import read_fastx
+
+    oi = golden_oracle_index
+    rng = np.random.default_rng(5)
+    src = 1  # tid|562|ref|genome_1
+    genome = [r.seq for r in read_fastx(GOLD + "/ref.fa")][src]
+    code = np.zeros(256, np.uint8)
+    for j, b in enumerate(b"ACGT"):
+        code[b] = j
+    frag = code[np.frombuffer(genome[1000:8600], np.uint8)]
+    seq = mutate_read(rng, frag, err=0.08)
+    read = ("long_block_read", seq, None)
+
+    cl = FastClassifier(oi, exact_fallback=False, max_width=2048)
+    (res,) = cl.classify_batch([read])
+    assert res.read_len == len(seq)
+    assert res.ref_ID == src, (res.ref_ID, res.score)
+    assert res.direction == 1
+    # score must aggregate across segments: far larger than any single
+    # 2048 bp segment could produce alone is not guaranteed at 8% error,
+    # but it must clear the long-read filter by a wide margin
+    assert res.score > 400, res.score
+
+    # same read, reverse-complemented: direction flips, same genome
+    comp = bytes(seq).translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    (res_rc,) = cl.classify_batch([("long_block_rc", comp, None)])
+    assert res_rc.ref_ID == src
+    assert res_rc.direction == 0
+
+    # a random (non-reference) long read must stay unclassified
+    from testdata import random_genome
+
+    junk = random_genome(rng, 7000)
+    (res_j,) = cl.classify_batch([("long_junk", junk, None)])
+    assert res_j.ref_ID == -1, res_j

