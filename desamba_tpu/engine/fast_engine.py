@@ -69,6 +69,20 @@ def _pow2(n: int, lo: int = 64) -> int:
     return v
 
 
+def _bucket(n: int, lo: int = 256) -> int:
+    """Width bucket: pow2 up to 2048, then 1024 steps. Above 2 kb the
+    pow2 ladder wastes real device time — a 2.2 kb read would pay a
+    4096-wide lane through every stage; with 1024 steps it pays 3072.
+    All widths stay multiples of 256 (band_score q_block) and 16 (the
+    packed wire format)."""
+    v = lo
+    while v < n and v < 2048:
+        v <<= 1
+    if v >= n:
+        return v
+    return -(-n // 1024) * 1024
+
+
 ROWS_PER_SEARCH = 2  # MEM_SEARCH_FAST (cly.c:1471)
 FM_EXT_CAP = 48  # cap the lockstep interval search depth; per-row walks
                  # (fixed 96-step scan) carry matches further — bounds the
@@ -85,8 +99,13 @@ WALK_BURST = 12         # row-walk steps before compacting stragglers
 def _band(W: int) -> int:
     """Half-width of the stage-4 diagonal band. Indel diagonal drift is a
     random walk with per-base variance ~2*err/3; at 18% error and 4 kb this
-    is sigma~22, so W>>5 (128 at 4 kb) covers >5 sigma."""
-    return min(128, max(32, W >> 5))
+    is sigma~22, so W>>5 covers >5 sigma. The returned value is snapped so
+    the band-score K dimension (2*band + 16) lands exactly on a 128-lane
+    multiple: Mosaic pads the innermost (lane) axis to 128, so K=145 would
+    physically occupy 256 lanes — 43% of stage-4's compute wasted on pad."""
+    ideal = min(128, max(32, W >> 5))
+    Kp = max(128, ((2 * ideal + 16) // 128) * 128)
+    return (Kp - 16) // 2
 
 
 def _enable_compile_cache():
@@ -245,11 +264,31 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         swi = jnp.minimum(selw, NC - 1)
         stw_c = (spw[swi], ptrw[swi], nw[swi],
                  donew[swi] | (selw >= NC), badw[swi])
-        wrc = row_walks(fm, codes_i, stw_c[0], stw_c[1], wlens[swi],
-                        lanes=wlanes[swi], with_trace=False, state=stw_c)
-        steps = nw.at[selw].set(wrc["steps"], mode="drop")
-        final_sp = spw.at[selw].set(wrc["final_sp"], mode="drop")
-        badw = badw.at[selw].set(wrc["bad_char"], mode="drop")
+        # middle burst + second compaction: the tail of long walks (the
+        # ~96-step finish loop) otherwise runs every iteration on NCW
+        # lanes when only a few percent are still matching
+        st2 = row_walks(fm, codes_i, stw_c[0], stw_c[1], wlens[swi],
+                        lanes=wlanes[swi], with_trace=False, state=stw_c,
+                        trace_cap=2 * WALK_BURST, return_state=True)
+        sp2, ptr2, n2, done2, bad2 = st2
+        live2 = ~done2
+        NCW2 = max(128, NCW // 4)
+        pos2w = jnp.cumsum(live2.astype(jnp.int32)) - 1
+        tgt2w = jnp.where(live2 & (pos2w < NCW2), pos2w, NCW2)
+        selw2 = jnp.full(NCW2, NCW, jnp.int32).at[tgt2w].set(
+            jnp.arange(NCW, dtype=jnp.int32), mode="drop")
+        swi2 = jnp.minimum(selw2, NCW - 1)
+        st2_c = (sp2[swi2], ptr2[swi2], n2[swi2],
+                 done2[swi2] | (selw2 >= NCW), bad2[swi2])
+        wrc = row_walks(fm, codes_i, st2_c[0], st2_c[1], wlens[swi][swi2],
+                        lanes=wlanes[swi][swi2], with_trace=False,
+                        state=st2_c)
+        n_mid = n2.at[selw2].set(wrc["steps"], mode="drop")
+        sp_mid = sp2.at[selw2].set(wrc["final_sp"], mode="drop")
+        bad_mid = bad2.at[selw2].set(wrc["bad_char"], mode="drop")
+        steps = nw.at[selw].set(n_mid, mode="drop")
+        final_sp = spw.at[selw].set(sp_mid, mode="drop")
+        badw = badw.at[selw].set(bad_mid, mode="drop")
         total_c = jnp.repeat(ml0, R)[seli] + 1 + steps
         hit_c = sval & (total_c >= min_match) & ~badw
         qleft_c = jnp.repeat(s_idx, R)[seli] - total_c + 1
@@ -332,12 +371,15 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
         diag_f = diag_c.reshape(-1)
         lane_f = jnp.repeat(jnp.arange(B2, dtype=jnp.int32), C)
         # word-gather path: align the band start down to a 16-code word
-        # boundary and widen the band by the worst-case 16-code slack +1
-        # (width must be a multiple of 16) — same coverage, 16x fewer
-        # random HBM gathers than per-position bytes
+        # boundary and widen the band by the worst-case 16-code slack
+        # (Kp = 2*band + 16, guaranteed >= +-band coverage at any
+        # alignment) — same coverage, 16x fewer random HBM gathers than
+        # per-position bytes, and Kp is the 128-lane multiple _band
+        # arranged for
+        Kp = 2 * band + 16
         g0a = (diag_f - band) & ~15
-        win = gather_band_windows(ra, ref_f, g0a, W + K + 16)
-        bs = band_score_jnp(codes_i[lane_f], lengths2[lane_f], win, K=K + 17)
+        win = gather_band_windows(ra, ref_f, g0a, W + Kp)
+        bs = band_score_jnp(codes_i[lane_f], lengths2[lane_f], win, K=Kp)
         B = B2 // 2
 
         def fold(x):  # [B2, C] -> [B, 2C]: fwd candidates then rc
@@ -595,7 +637,7 @@ class FastClassifier:
         forward strand only — the device derives the RC rows."""
         lens = np.array([len(r[1]) for r in reads], np.int32)
         if W is None:
-            W = _pow2(max(int(lens.max()), self.ek.lek + 2), 256)
+            W = _bucket(max(int(lens.max()), self.ek.lek + 2))
         B = len(reads)
         if Bp is None:
             Bp = _pow2(B, 8)
@@ -629,7 +671,7 @@ class FastClassifier:
             if len(r[1]) > self.max_width:
                 long_ids.append(i)  # block-partitioned separately below
                 continue
-            Wb = _pow2(max(len(r[1]), self.ek.lek + 2), 256)
+            Wb = _bucket(max(len(r[1]), self.ek.lek + 2))
             by_bucket.setdefault(Wb, []).append(i)
         pending: list = []
 
@@ -697,7 +739,7 @@ class FastClassifier:
             for j, (ri, ss, _) in enumerate(sub):
                 rows[(ri, ss)] = {k: int(v[j]) for k, v in res.items()}
 
-        Wb = _pow2(SEG, 256)
+        Wb = _bucket(SEG)
         for c0 in range(0, len(segs), block):
             sub = segs[c0 : c0 + block]
             chunk = [s[2] for s in sub]
