@@ -3,11 +3,11 @@
 The north-star pipeline (BASELINE.json) as ONE device dispatch per read
 batch (stages below fused into a single program, _build_full; through a
 tunneled chip each dispatch costs a ~25 ms client round trip and the
-split pipeline paid it 6x). The wire format is 2-bit packed forward
-strand only — stage0_unpack derives the RC rows on device, an 8x H2D
-reduction over the old uint8 both-strand matrix:
+split pipeline paid it 6x). The wire format is 2-bit packed, both
+strands per read row (stage0_unpack docstring) — 4x less H2D than a
+uint8 matrix:
 
-  stage0  2-bit unpack + reverse-complement row derivation
+  stage0  2-bit unpack of the per-read fwd|rc packed rows
   stage1  exist-filter probe + per-window top-seed selection
           (cly.c:1066-1155 / cly.c:1157-1229 analogs; ops/ekmer.py,
           ops/seeds.py)
@@ -123,35 +123,38 @@ def _enable_compile_cache():
 
 
 def stage0_unpack(packed, lens):
-    """Device-side decode of the wire format: packed uint8[Bp, W//4] holds
-    4 codes/byte little-endian (code j = (byte[j>>2] >> (2*(j&3))) & 3,
-    zero-padded past lens). Returns (codes2 uint8[2Bp, W], lengths2
-    int32[2Bp]) — forward rows then per-row reversed-complement rows.
+    """Device-side decode of the wire format: packed uint8[Bp, W//2] —
+    per READ row, W//4 bytes of forward codes then W//4 bytes of
+    reverse-complement codes, 4 codes/byte little-endian (code j =
+    (byte[j>>2] >> (2*(j&3))) & 3), zero-padded past lens. Returns
+    (codes2 uint8[2Bp, W], lengths2 int32[2Bp]) — fwd rows then rc rows.
 
-    Deriving the RC strand here instead of on the host quarters the H2D
-    bytes twice over (2 bits/code x fwd only = 8x less than the old
-    uint8 both-strand matrix): on a latency/bandwidth-bound host link
-    the transfer was the single largest per-chunk cost."""
+    2 bits/code keeps H2D 4x under the old uint8 matrix (the transfer is
+    overlapped with compute by the dispatch-ahead pipeline anyway). The
+    rc half is packed on the HOST: deriving it here needed a per-row
+    variable-shift gather that measured ~45 ms per 2048x2048 chunk —
+    the single most expensive op of the whole unpack path — while the
+    host pays ~15 ms of numpy inside the overlapped encode. One row per
+    read (not separate rc rows) so 'data'-sharding keeps a read's two
+    strands on one shard with no host-side row interleave."""
     import jax.numpy as jnp
 
-    Bp, Wq = packed.shape
+    Bp, Wq2 = packed.shape
+    Wq = Wq2 // 2
     W = Wq * 4
     pos = jnp.arange(W, dtype=jnp.int32)
+    both = jnp.concatenate([packed[:, :Wq], packed[:, Wq:]], axis=0)
     # repeat + per-column shift. (A static-shift-plane stack+reshape —
     # 4 shifts and an interleave — measured SLOWER on v5e: the [Bp, Wq, 4]
     # -> [Bp, W] reshape is a lane relayout.)
-    b = jnp.repeat(packed, 4, axis=1)
-    fwd = (b >> ((pos & 3) << 1).astype(jnp.uint8)) & 3
+    b = jnp.repeat(both, 4, axis=1)
+    codes2 = (b >> ((pos & 3) << 1).astype(jnp.uint8)) & 3
     lens = jnp.asarray(lens, jnp.int32)
-    ridx = jnp.clip(lens[:, None] - 1 - pos[None, :], 0, W - 1)
-    rc = jnp.where(pos[None, :] < lens[:, None],
-                   3 - jnp.take_along_axis(fwd, ridx, axis=1),
-                   0).astype(jnp.uint8)
-    return (jnp.concatenate([fwd, rc], axis=0),
-            jnp.concatenate([lens, lens]))
+    return codes2, jnp.concatenate([lens, lens])
 
 
-def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
+def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
+                  nw0: int = 0):
     """Returns (stage1, stage2, stage3, stage4) closed over static ek
     params. Each stage is separately jit-able; chaining them keeps all
     intermediates on device."""
@@ -165,12 +168,12 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
     from ..ops.refwin import gather_band_windows
     from ..ops.seeds import top_seeds
 
-    def stage1(w0, w1, codes2, lengths2):
+    def stage1(w01, codes2, lengths2):
         """codes2: uint8[2B, W] (rows 0..B-1 fwd, B..2B-1 rc). Probes on
         the reference's STEP_EK grid (cly.c:969,979): bitmap gathers are
         the cost here, and the C itself only probes every 3rd k-mer."""
-        ex = _probe_reads(w0, w1, codes2, lengths2, lek, sbm, mask_bits,
-                          stride=STEP_EK)
+        ex = _probe_reads(w01, codes2, lengths2, lek, sbm, mask_bits,
+                          stride=STEP_EK, n_words0=nw0)
         lo26 = kmer_lo26(codes2, lek, stride=STEP_EK)
         kidx, runlen = top_seeds(ex, SEED_RANGE // STEP_EK)  # [2B, n_win]
         n_exist = ex.sum(axis=1).astype(jnp.int32)
@@ -425,7 +428,8 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int):
     return stage1, stage2, stage3, stage4
 
 
-def _build_full(lek: int, sbm: int, mask_bits: int, min_match: int):
+def _build_full(lek: int, sbm: int, mask_bits: int, min_match: int,
+                nw0: int = 0):
     """The whole pipeline (stage0 unpack + stages 1-4 + result pack) as ONE
     program: through a tunneled/remote chip every dispatch costs a ~25 ms
     client round trip, so 6 dispatches/chunk were pure overhead. The old
@@ -435,11 +439,11 @@ def _build_full(lek: int, sbm: int, mask_bits: int, min_match: int):
     same per-stage speed as the split one (measured on v5e)."""
     import jax.numpy as jnp
 
-    s1, s2, s3, s4 = _build_stages(lek, sbm, mask_bits, min_match)
+    s1, s2, s3, s4 = _build_stages(lek, sbm, mask_bits, min_match, nw0)
 
-    def full(fm, loc, ra, w0, w1, packed, lens):
+    def full(fm, loc, ra, w01, packed, lens):
         codes2, lengths2 = stage0_unpack(packed, lens)
-        lo26, kidx, runlen, n_exist = s1(w0, w1, codes2, lengths2)
+        lo26, kidx, runlen, n_exist = s1(w01, codes2, lengths2)
         codes_i = codes2.astype(jnp.int32)
         fsp, hit, tot, qleft, sel = s2(fm, codes_i, lengths2, lo26, kidx,
                                        runlen)
@@ -559,7 +563,7 @@ class FastClassifier:
         self.filter_min_length = filter_min_length
         self._full = jax.jit(_build_full(
             self.ek.lek, self.ek.single_base_max, self.ek.mask_bits,
-            min_match=20))
+            min_match=20, nw0=self.ek.n_words0))
         self._code = np.full(256, 1, np.uint8)
         for j, b in enumerate(b"ACGT"):
             self._code[b] = j
@@ -573,13 +577,16 @@ class FastClassifier:
         self._fallback_threads = fallback_threads or min(
             8, os.cpu_count() or 1)
         self._native = None  # built lazily on first ambiguous read
+        import threading
+
+        self._replay_lock = threading.Lock()  # replay runs on a worker
         self.stats = dict(n_reads=0, n_fallback=0)
 
     def _run(self, packed, lens):
         """Single-device ONE-dispatch pipeline: unpack+RC, stages 1-4 and
         the result pack fused into one program (see _build_full)."""
-        return self._full(self.fm, self.loc, self.ra, self.ek.w0,
-                          self.ek.w1, packed, lens)
+        return self._full(self.fm, self.loc, self.ra, self.ek.w01,
+                          packed, lens)
 
     def _shard_stages(self, mesh):
         """Data-parallel variant: reads sharded over 'data', index
@@ -593,13 +600,14 @@ class FastClassifier:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         full = _build_full(self.ek.lek, self.ek.single_base_max,
-                           self.ek.mask_bits, min_match=20)
+                           self.ek.mask_bits, min_match=20,
+                           nw0=self.ek.n_words0)
         fm_specs = jax.tree_util.tree_map(lambda _: P(), self.fm)
         loc_specs = jax.tree_util.tree_map(lambda _: P(), self.loc)
         ra_specs = jax.tree_util.tree_map(lambda _: P(), self.ra)
         self._smfull = jax.jit(shard_map(
             full, mesh=mesh,
-            in_specs=(fm_specs, loc_specs, ra_specs, P(), P(),
+            in_specs=(fm_specs, loc_specs, ra_specs, P(),
                       P("data"), P("data")),
             out_specs=P(None, "data"), check_vma=False))
         self._smesh = mesh
@@ -610,8 +618,7 @@ class FastClassifier:
             partial(jax.device_put, device=repl), self.loc)
         self._ra_r = jax.tree_util.tree_map(
             partial(jax.device_put, device=repl), self.ra)
-        self._w0_r = jax.device_put(self.ek.w0, repl)
-        self._w1_r = jax.device_put(self.ek.w1, repl)
+        self._w01_r = jax.device_put(self.ek.w01, repl)
 
     def _run_mesh(self, packed, lens):
         import jax
@@ -621,7 +628,7 @@ class FastClassifier:
         packed = jax.device_put(packed, data)
         lens = jax.device_put(lens, data)
         return self._smfull(self._fm_r, self._loc_r, self._ra_r,
-                            self._w0_r, self._w1_r, packed, lens)
+                            self._w01_r, packed, lens)
 
     # ------------------------------------------------------------ encode --
     def _encode(self, reads, W: int | None = None, Bp: int | None = None):
@@ -633,8 +640,9 @@ class FastClassifier:
         device, VERDICT r1 weak #9). W/Bp pin the bucket shape so callers
         can hold the set of compiled programs fixed across chunks.
 
-        Returns (packed uint8[Bp, W//4], lens_p int32[Bp], lens int32[B]):
-        forward strand only — the device derives the RC rows."""
+        Returns (packed uint8[Bp, W//2], lens_p int32[Bp], lens int32[B]):
+        per read row, fwd codes then rc codes, 2-bit packed (see
+        stage0_unpack)."""
         lens = np.array([len(r[1]) for r in reads], np.int32)
         if W is None:
             W = _bucket(max(int(lens.max()), self.ek.lek + 2))
@@ -643,13 +651,15 @@ class FastClassifier:
             Bp = _pow2(B, 8)
         flat = self._code[np.frombuffer(
             b"".join(r[1] for r in reads), np.uint8)]
+        inv = 3 - flat
         off = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
-        codes = np.zeros((Bp, W), np.uint8)
+        codes = np.zeros((Bp, 2 * W), np.uint8)
         # per-read row fills: contiguous memcpy per read beats a 2D fancy
         # scatter with [total_bp] int64 index arrays ~6x at these shapes
         for i in range(B):
             o0, o1 = off[i], off[i + 1]
             codes[i, : o1 - o0] = flat[o0:o1]
+            codes[i, W : W + o1 - o0] = inv[o0:o1][::-1]
         packed = (codes[:, 0::4] | (codes[:, 1::4] << 2)
                   | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
         lens_p = np.zeros(Bp, np.int32)
@@ -664,6 +674,8 @@ class FastClassifier:
         only the drain's np.asarray blocks). Reads are grouped into pow2
         width buckets first so a 1 kb read never pays a 4 kb lane; row
         count is pinned to `block` so each bucket compiles exactly once."""
+        from concurrent.futures import ThreadPoolExecutor
+
         out: list = [None] * len(reads)
         by_bucket: dict[int, list[int]] = {}
         long_ids: list[int] = []
@@ -674,34 +686,53 @@ class FastClassifier:
             Wb = _bucket(max(len(r[1]), self.ek.lek + 2))
             by_bucket.setdefault(Wb, []).append(i)
         pending: list = []
+        # exact replays run on a worker thread (step-2 of the kt_pipeline
+        # analog): the native engine releases the GIL, so ambiguous reads
+        # from chunk i adjudicate WHILE chunks i+1.. compute on device
+        replay_ex = ThreadPoolExecutor(max_workers=1) \
+            if self.exact_fallback else None
+        replay_futs: list = []
 
         def drain():
             sub, chunk, lens, handles = pending.pop(0)
             res = _unpack_rows(np.asarray(handles), len(chunk))
-            for j, fr in zip(sub, self._format(chunk, lens, res)):
+            frs, replay = self._format(chunk, lens, res)
+            for j, fr in zip(sub, frs):
                 out[j] = fr
+            if replay:
+                idxs = [sub[k] for k, _ in replay]
+                rds = [r for _, r in replay]
+                replay_futs.append(
+                    (idxs, replay_ex.submit(self._replay, rds)))
 
-        for Wb in sorted(by_bucket):
-            ids = by_bucket[Wb]
-            for s0 in range(0, len(ids), block):
-                sub = ids[s0 : s0 + block]
-                chunk = [reads[i] for i in sub]
-                # full chunks pin Bp=block (one compiled shape); a partial
-                # tail drops to its own pow2 so 100 leftover reads don't pay
-                # a full block's device time (at most log2(block) tail
-                # shapes ever compile)
-                Bp = block if len(sub) == block else _pow2(len(sub), 8)
-                if self.mesh is not None:
-                    n_data = self.mesh.shape["data"]
-                    Bp += (-Bp) % n_data  # rows must split over 'data'
-                handles, lens = self._dispatch_chunk(chunk, Wb, Bp)
-                pending.append((sub, chunk, lens, handles))
-                while len(pending) > 1:
-                    drain()
-        while pending:
-            drain()
-        if long_ids:
-            self._classify_long(reads, long_ids, out, block)
+        try:
+            for Wb in sorted(by_bucket):
+                ids = by_bucket[Wb]
+                for s0 in range(0, len(ids), block):
+                    sub = ids[s0 : s0 + block]
+                    chunk = [reads[i] for i in sub]
+                    # full chunks pin Bp=block (one compiled shape); a
+                    # partial tail drops to its own pow2 so 100 leftover
+                    # reads don't pay a full block's device time (at most
+                    # log2(block) tail shapes ever compile)
+                    Bp = block if len(sub) == block else _pow2(len(sub), 8)
+                    if self.mesh is not None:
+                        n_data = self.mesh.shape["data"]
+                        Bp += (-Bp) % n_data  # rows must split over 'data'
+                    handles, lens = self._dispatch_chunk(chunk, Wb, Bp)
+                    pending.append((sub, chunk, lens, handles))
+                    while len(pending) > 1:
+                        drain()
+            while pending:
+                drain()
+            if long_ids:
+                self._classify_long(reads, long_ids, out, block)
+            for idxs, fut in replay_futs:
+                for i, fr in zip(idxs, fut.result()):
+                    out[i] = fr
+        finally:
+            if replay_ex is not None:
+                replay_ex.shutdown(wait=True)
         return out
 
     # ------------------------------------------------- very long reads --
@@ -820,8 +851,12 @@ class FastClassifier:
         return self._run(packed, lens_p), lens
 
     def _format(self, reads, lens, res):
+        """Format one chunk's device rows. Returns (results, replay):
+        replay is the list of (local index, read) this chunk could not
+        call unambiguously — the CALLER replays them (classify_batch
+        overlaps the replay with the remaining device chunks)."""
         out = []
-        replay = []  # (out index, read)
+        replay = []  # (local index, read)
         self.stats["n_reads"] += len(reads)
         for i, (name, seq, qual) in enumerate(reads):
             sc = int(res["score"][i])
@@ -852,14 +887,17 @@ class FastClassifier:
                 pos=int(res["pos"][i]) if ok else -1))
         if replay:
             self.stats["n_fallback"] += len(replay)
-            for (i, _), fr in zip(replay,
-                                  self._replay([r for _, r in replay])):
-                out[i] = fr
-        return out
+        return out, replay
 
     def _replay(self, reads) -> list[FastResult]:
         """Exact adjudication of ambiguous reads via the native engine
-        (bit-exact vs the reference binary, tests/test_native_engine.py)."""
+        (bit-exact vs the reference binary, tests/test_native_engine.py).
+        Serialized by _replay_lock: classify_batch runs replays on a
+        worker thread while _classify_long may call from the main one."""
+        with self._replay_lock:
+            return self._replay_inner(reads)
+
+    def _replay_inner(self, reads) -> list[FastResult]:
         if self._native is None:
             from .native import NativeClassifier
 

@@ -139,13 +139,16 @@ class ShardedFastClassifier(FastClassifier):
         tis = [from_oracle_index(oi) for oi in ois]
         eks = [EkArrays(ti, device=cpu) for ti in tis]
         lek, sbm, mb = eks[0].lek, eks[0].single_base_max, eks[0].mask_bits
+        nw0 = eks[0].n_words0
         for e in eks[1:]:
-            if (e.lek, e.single_base_max, e.mask_bits) != (lek, sbm, mb):
+            if (e.lek, e.single_base_max, e.mask_bits,
+                    e.n_words0) != (lek, sbm, mb, nw0):
                 raise ValueError(
                     "shards have heterogeneous exist-filter params "
                     "(ek_params_for, index/build.py); rebuild the shards "
                     "balanced so every shard lands in the same size bucket")
-        self.ek = SimpleNamespace(lek=lek, single_base_max=sbm, mask_bits=mb)
+        self.ek = SimpleNamespace(lek=lek, single_base_max=sbm, mask_bits=mb,
+                                  n_words0=nw0)
         self.fm_s = _stack_shard_trees(
             [FmArrays(ti, device=cpu) for ti in tis], mesh)
         self.ek_s = _stack_shard_trees(eks, mesh)
@@ -185,6 +188,9 @@ class ShardedFastClassifier(FastClassifier):
         self._fallback_threads = fallback_threads or min(
             8, os.cpu_count() or 1)
         self._native = None  # lazy host ShardedEngine for replays
+        import threading
+
+        self._replay_lock = threading.Lock()
         self.stats = dict(n_reads=0, n_fallback=0)
 
     # --------------------------------------------------------- stage build --
@@ -195,7 +201,7 @@ class ShardedFastClassifier(FastClassifier):
 
         s1, s2, s3, s4 = _build_stages(
             self.ek.lek, self.ek.single_base_max, self.ek.mask_bits,
-            min_match=20)
+            min_match=20, nw0=self.ek.n_words0)
         mesh = self.mesh
         IX = lambda t: jax.tree_util.tree_map(lambda _: P("index"), t)  # noqa: E731
         DI = P("index", "data")  # per-(index, data)-shard intermediates
@@ -210,7 +216,7 @@ class ShardedFastClassifier(FastClassifier):
             import jax.numpy as jnp
 
             ek = _local(ek)
-            lo26, kidx, runlen, n_exist = s1(ek.w0, ek.w1, codes2, lengths2)
+            lo26, kidx, runlen, n_exist = s1(ek.w01, codes2, lengths2)
             Bl = codes2.shape[0] // 2
             ne = n_exist[:Bl] + n_exist[Bl:]  # strand fold, shard-local
             return tuple(x[None] for x in (lo26, kidx, runlen, ne))
@@ -353,7 +359,12 @@ class ShardedFastClassifier(FastClassifier):
     # ------------------------------------------------------------ fallback --
     def _replay(self, reads):
         """Exact adjudication via the host sharded engine (per-shard
-        bit-exact classify + global merge, parallel/shard_index.py)."""
+        bit-exact classify + global merge, parallel/shard_index.py).
+        Serialized by _replay_lock (see FastClassifier._replay)."""
+        with self._replay_lock:
+            return self._replay_inner(reads)
+
+    def _replay_inner(self, reads):
         from ..parallel.shard_index import ShardedEngine
         from .fast_engine import FastResult
 

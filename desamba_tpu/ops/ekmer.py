@@ -17,15 +17,30 @@ from . import u64emu as u64
 
 
 class EkArrays:
+    """Both bloom bitmaps in ONE device array (w1 words appended after
+    w0's): the two per-kmer probes (hash64_1 into e_kmer0, hash64_2 into
+    e_kmer1, idx.c:1014-1025) then run as a SINGLE gather — on TPU the
+    probe gathers dominate stage 1, and one gather of 2N rows is
+    measurably cheaper than two of N (same trick as the fused sp/ep occ
+    in ops/fm.py). `n_words0` (static aux) is the w1 offset; equal-sized
+    filters are implied by equal mask_bits, which the sharded engine
+    already requires."""
+
     def __init__(self, ti=None, device=None, _from=None):
         if _from is not None:
-            (self.w0, self.w1), (self.mask_bits, self.lek, self.single_base_max) = _from
+            (self.w01,), (self.n_words0, self.mask_bits, self.lek,
+                          self.single_base_max) = _from
             return
+        import numpy as np
+
         put = partial(jax.device_put, device=device)
         w0 = ti.ek_words0
         w1 = ti.ek_words1
-        self.w0 = put(jnp.asarray(w0.view("uint32") if w0.dtype != "uint32" else w0))
-        self.w1 = put(jnp.asarray(w1.view("uint32") if w1.dtype != "uint32" else w1))
+        w0 = w0.view("uint32") if w0.dtype != "uint32" else w0
+        w1 = w1.view("uint32") if w1.dtype != "uint32" else w1
+        self.n_words0 = int(np.asarray(w0).size)
+        self.w01 = put(jnp.asarray(
+            np.concatenate([np.asarray(w0), np.asarray(w1)])))
         self.mask_bits = int(ti.ek_mask_bits)
         self.lek = int(ti.ek_len)
         self.single_base_max = int(ti.ek_single_base_max)
@@ -35,27 +50,53 @@ class EkArrays:
                 "index instead (DESIGN.md)"
             )
 
+    # views for callers that address one bitmap (tests, oracle parity)
+    @property
+    def w0(self):
+        return self.w01[: self.n_words0]
+
+    @property
+    def w1(self):
+        return self.w01[self.n_words0 :]
+
 
 import jax.tree_util as _jtu  # noqa: E402
 
 _jtu.register_pytree_node(
     EkArrays,
-    lambda ek: ((ek.w0, ek.w1), (ek.mask_bits, ek.lek, ek.single_base_max)),
+    lambda ek: ((ek.w01,),
+                (ek.n_words0, ek.mask_bits, ek.lek, ek.single_base_max)),
     lambda aux, leaves: EkArrays(_from=(leaves, aux)),
 )
 
 
-def _probe(words, h):
-    """Bit test at hash h: byte h>>3, bit 7-(h&7) (idx.c:1019)."""
+def _addr(h):
+    """Hash -> (word index, bit shift within word): byte h>>3, bit 7-(h&7)
+    (idx.c:1019), little-endian u32 words of 4 bytes."""
     hi, lo = h
     # mask_bits <= 37 -> byte index <= 2^34; word index needs up to 35 bits
     # but practical filters here are <= 4 GiB (word index < 2^30) -> int32
     word_idx = ((lo >> jnp.uint32(5)) | (hi << jnp.uint32(27))).astype(jnp.int32)
     byte_in_word = (lo >> jnp.uint32(3)) & jnp.uint32(3)
     bit = jnp.uint32(7) - (lo & jnp.uint32(7))
-    w = words[word_idx]
-    byte = (w >> (byte_in_word * jnp.uint32(8))) & jnp.uint32(0xFF)
-    return ((byte >> bit) & jnp.uint32(1)).astype(jnp.bool_)
+    return word_idx, byte_in_word * jnp.uint32(8) + bit
+
+
+def _probe(words, h):
+    """Bit test at hash h (single-bitmap variant; kept for parity tests)."""
+    word_idx, shift = _addr(h)
+    return ((words[word_idx] >> shift) & jnp.uint32(1)).astype(jnp.bool_)
+
+
+def _probe_both(w01, n_words0: int, h1, h2):
+    """Both bloom tests with ONE gather into the concatenated bitmaps."""
+    wi1, sh1 = _addr(h1)
+    wi2, sh2 = _addr(h2)
+    w = w01[jnp.concatenate([wi1, wi2 + n_words0], axis=0)]
+    B = wi1.shape[0]
+    r1 = ((w[:B] >> sh1) & jnp.uint32(1)).astype(jnp.bool_)
+    r2 = ((w[B:] >> sh2) & jnp.uint32(1)).astype(jnp.bool_)
+    return r1, r2
 
 
 def _grid(n_kmer: int, stride: int) -> int:
@@ -66,9 +107,10 @@ def _grid(n_kmer: int, stride: int) -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("lek", "single_base_max", "mask_bits", "stride"))
-def _probe_reads(w0, w1, codes, lengths, lek: int, single_base_max: int,
-                 mask_bits: int, stride: int = 1):
+         static_argnames=("lek", "single_base_max", "mask_bits", "stride",
+                          "n_words0"))
+def _probe_reads(w01, codes, lengths, lek: int, single_base_max: int,
+                 mask_bits: int, stride: int = 1, n_words0: int = 0):
     """stride>1 probes only the reference's STEP_EK grid (cly.c:969,979):
     the bitmap gathers dominate this stage on TPU, so probing every 3rd
     k-mer — exactly what the C does — cuts the cost 3x. Outputs are on the
@@ -102,9 +144,8 @@ def _probe_reads(w0, w1, codes, lengths, lek: int, single_base_max: int,
     kmer = (hi, lo)
     keep = ~fail & ~kzero
     h1 = u64.and_mask_bits(u64.hash64_1(kmer), mask_bits)
-    r1 = _probe(w0, h1)
     h2 = u64.and_mask_bits(u64.hash64_2(kmer), mask_bits)
-    r2 = _probe(w1, h2)
+    r1, r2 = _probe_both(w01, n_words0, h1, h2)
     pos = p0 + stride * jnp.arange(n_g, dtype=jnp.int32)
     in_read = pos[None, :] + lek <= lengths[:, None]
     return (keep & r1 & r2 & in_read).astype(jnp.uint8)
@@ -135,6 +176,6 @@ def probe_reads(ek: EkArrays, codes, lengths):
     Returns uint8[B, L-lek+1]: 1 where the e-kmer at that offset passes the
     complexity filter and both bloom probes (exact get_exist_kmer result)."""
     return _probe_reads(
-        ek.w0, ek.w1, jnp.asarray(codes), jnp.asarray(lengths, jnp.int32),
-        ek.lek, ek.single_base_max, ek.mask_bits,
+        ek.w01, jnp.asarray(codes), jnp.asarray(lengths, jnp.int32),
+        ek.lek, ek.single_base_max, ek.mask_bits, n_words0=ek.n_words0,
     )

@@ -32,10 +32,12 @@ def make_seed_search_step(mesh, fm, ek):
     lek = ek.lek
     sbm = ek.single_base_max
     mask_bits = ek.mask_bits
+    nw0 = ek.n_words0
 
-    def step(fm, w0, w1, codes, lengths, bin2, s_idx, sp0, ep0,
+    def step(fm, w01, codes, lengths, bin2, s_idx, sp0, ep0,
              max_rst, l_min, l_max):
-        ex = _probe_reads(w0, w1, codes, lengths, lek, sbm, mask_bits)
+        ex = _probe_reads(w01, codes, lengths, lek, sbm, mask_bits,
+                          n_words0=nw0)
         res = interval_search(fm, bin2, 0, s_idx, sp0, ep0,
                               max_rst, l_min, l_max)
         return ex, res
@@ -45,7 +47,7 @@ def make_seed_search_step(mesh, fm, ek):
     step_fn = jax.jit(
         shard_map(
             step, mesh=mesh,
-            in_specs=(fm_specs, P(), P(), d, d, d, d, d, d, d, d, d),
+            in_specs=(fm_specs, P(), d, d, d, d, d, d, d, d, d),
             out_specs=(d, dict(sp=d, ep=d, match_len=d, ptr=d, status=d)),
             check_vma=False,
         )
@@ -53,12 +55,11 @@ def make_seed_search_step(mesh, fm, ek):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     fm_r = jax.tree_util.tree_map(partial(jax.device_put, device=repl), fm)
-    w0_r = jax.device_put(ek.w0, repl)
-    w1_r = jax.device_put(ek.w1, repl)
+    w01_r = jax.device_put(ek.w01, repl)
 
     def place(codes, lengths, bin2, s_idx, sp0, ep0, max_rst, l_min, l_max):
         putd = partial(jax.device_put, device=data)
-        return (fm_r, w0_r, w1_r, putd(codes), putd(lengths), putd(bin2),
+        return (fm_r, w01_r, putd(codes), putd(lengths), putd(bin2),
                 putd(s_idx), putd(sp0), putd(ep0), putd(max_rst),
                 putd(l_min), putd(l_max))
 
