@@ -25,16 +25,35 @@ def popcount32(x):
 
 
 class FmArrays:
-    """Device-resident FM index arrays (a jax pytree)."""
+    """Device-resident FM index arrays (a jax pytree).
+
+    The occ tables are re-laid-out at load time from the reference's
+    256 bp checkpoint blocks (bwt.c:33-41) into 32 bp blocks whose
+    (cumulative base count, bit word) pairs sit ADJACENT in memory:
+    `occ32[blk32, c]` is one aligned 8-byte row. occ() — the single
+    hottest gather of the whole classify pipeline, issued per character
+    of every FM extension — then needs exactly ONE 8 B gather instead of
+    the 256 bp layout's 32 B word gather + separate base gather (4.5x
+    less random-gather volume, measured as the bulk of stage-2 time).
+    Costs ~1.25 B/bp of HBM vs the raw layout's ~0.8 B/bp — capacity is
+    the sharded engine's job, speed is this layout's."""
 
     def __init__(self, ti=None, device=None, _from=None):
         if _from is not None:
-            (self.base, self.bits, self.pad, self.rank, self.hash13,
+            (self.occ32, self.pad, self.rank, self.hash13,
              self.sa_uni, self.sa_off, self.dollar_pos, self.L), () = _from
             return
         put = partial(jax.device_put, device=device)
-        self.base = put(jnp.asarray(ti.bwt_base, dtype=jnp.int32))  # [n_blk, 8]
-        self.bits = put(jnp.asarray(ti.bwt_bits, dtype=jnp.uint32))  # [n_blk, 5, 8]
+        base = np.asarray(ti.bwt_base, dtype=np.int64)[:, :5]  # [n_blk, 5]
+        bits = np.asarray(ti.bwt_bits, dtype=np.uint32)        # [n_blk, 5, 8]
+        n_blk = bits.shape[0]
+        pc = np.bitwise_count(bits).astype(np.int64)           # [n_blk, 5, 8]
+        excl = np.cumsum(pc, axis=2) - pc                      # within-block
+        base32 = (base[:, :, None] + excl).astype(np.uint32)
+        occ32 = np.stack(
+            [base32, bits], axis=3)                            # [n_blk, 5, 8, 2]
+        self.occ32 = put(jnp.asarray(
+            occ32.transpose(0, 2, 1, 3).reshape(n_blk * 8, 5, 2)))
         self.pad = put(jnp.asarray(ti.bwt_pad, dtype=jnp.uint8))  # [n_blk*256]
         self.rank = put(jnp.asarray(np.asarray(ti.rank), dtype=jnp.int32))  # [6]
         self.hash13 = put(jnp.asarray(ti.hash13, dtype=jnp.int32))
@@ -49,7 +68,7 @@ class FmArrays:
 jax.tree_util.register_pytree_node(
     FmArrays,
     lambda fm: (
-        (fm.base, fm.bits, fm.pad, fm.rank, fm.hash13, fm.sa_uni, fm.sa_off,
+        (fm.occ32, fm.pad, fm.rank, fm.hash13, fm.sa_uni, fm.sa_off,
          fm.dollar_pos, fm.L),
         (),
     ),
@@ -61,21 +80,11 @@ def occ(fm: FmArrays, r, c):
     """Count of char c in rows [0, r). r:int32[B], c:int32[B] (0..4)."""
     r = jnp.asarray(r, jnp.int32)
     c = jnp.asarray(c, jnp.int32)
-    blk = r >> 8
-    within = r & 255
-    words = fm.bits[blk, c]  # [B, 8]
-    widx = jnp.arange(8, dtype=jnp.int32)[None, :]
-    lo = within[:, None] - widx * 32
-    nbits = jnp.clip(lo, 0, 32)
-    # mask of the low nbits of each word
-    full = nbits >= 32
-    m = jnp.where(
-        full,
-        jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1),
-    )
-    cnt = popcount32(words & m).sum(axis=1)
-    return fm.base[blk, c] + cnt
+    pair = fm.occ32[r >> 5, c]  # [B, 2]: (base count, bit word) — 1 gather
+    nbits = (r & 31).astype(jnp.uint32)
+    m = (jnp.uint32(1) << nbits) - jnp.uint32(1)
+    return (pair[:, 0] + popcount32(pair[:, 1] & m).astype(jnp.uint32)
+            ).astype(jnp.int32)
 
 
 def bwt_char(fm: FmArrays, r):
