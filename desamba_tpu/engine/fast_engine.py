@@ -104,7 +104,11 @@ def _band(W: int) -> int:
     multiple: Mosaic pads the innermost (lane) axis to 128, so K=145 would
     physically occupy 256 lanes — 43% of stage-4's compute wasted on pad."""
     ideal = min(128, max(32, W >> 5))
-    Kp = max(128, ((2 * ideal + 16) // 128) * 128)
+    # round UP to the next 128 multiple: snapping down collapsed the 3072
+    # bucket's ideal band 96 to 56 (~3 sigma), silently losing band-MEM
+    # score on misaligned tails (ADVICE r3); one extra 128-lane tile for
+    # the 2-4 kb buckets is the price of the full 5-sigma coverage
+    Kp = max(128, -(-(2 * ideal + 16) // 128) * 128)
     return (Kp - 16) // 2
 
 
@@ -792,21 +796,31 @@ class FastClassifier:
             acc: dict[int, int] = {}
             cov: dict[int, int] = {}
             dirv: dict[tuple, int] = {}
-            first_pos: dict[int, int] = {}
+            best_pos: dict[int, tuple] = {}  # rid -> (seg score, read pos)
             n_exist = 0
-            alt_floor = 0  # best single-segment other-genome score
+            alt_floor = 0  # SUM of per-segment other-genome scores: a
+            # genome that narrowly loses every segment appears only in
+            # score_alt, so the per-segment sum is the conservative bound
+            # on its total (ADVICE r3 — over-triggering replay is safe,
+            # under-triggering miscalls)
             for ss in seg_of[i]:
                 row = rows[(i, ss)]
                 n_exist += row["n_exist"]
-                alt_floor = max(alt_floor, row["score_alt"])
+                alt_floor += row["score_alt"]
                 rid = row["ref"]
                 if rid >= 0 and row["score"] > 0:
                     acc[rid] = acc.get(rid, 0) + row["score"]
                     cov[rid] = cov.get(rid, 0) + row["cov"]
                     dirv[(rid, row["direction"])] = dirv.get(
                         (rid, row["direction"]), 0) + row["score"]
-                    if rid not in first_pos:
-                        first_pos[rid] = max(row["pos"] - ss, 0)
+                    # read-level pos from the BEST-scoring segment; for a
+                    # reverse-complement hit the segment at read offset ss
+                    # sits at offset L-SEG-ss of the aligned (rc) strand
+                    # (ADVICE r3)
+                    s_off = ss if row["direction"] == 1 else L - SEG - ss
+                    cand = (row["score"], max(row["pos"] - s_off, 0))
+                    if rid not in best_pos or cand > best_pos[rid]:
+                        best_pos[rid] = cand
             if acc:
                 rid = max(acc, key=lambda r: (acc[r], -r))
                 sc = acc[rid]
@@ -832,7 +846,7 @@ class FastClassifier:
             out[i] = FastResult(
                 name=name, ref_ID=rid if ok else -1,
                 direction=d if ok else 0, score=sc, read_len=L,
-                pos=first_pos.get(rid, -1) if ok else -1)
+                pos=best_pos[rid][1] if (ok and rid in best_pos) else -1)
         if replay:
             self.stats["n_fallback"] += len(replay)
             for i, fr in zip(replay, self._replay([reads[i] for i in replay])):

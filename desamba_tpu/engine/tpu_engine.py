@@ -492,11 +492,15 @@ class TpuClassifier:
                 a.anchor_useless = 1 if a.score < top else 0
 
     # ------------------------------------------------------------- API ----
-    def classify_to_sam(self, reads, output_seq=False, max_sec_n=5) -> str:
+    def classify_results(self, reads, buff=None, m_bin=None) -> list:
+        """Full classify flow (speculate -> replay -> rescore -> primary)
+        returning result objects. `buff`/`m_bin` carry the RM_buffer state
+        (max_read_l filter mode, bin-buffer growth, cly_mt.c:963-1006)
+        across calls when a persistent session passes them in."""
         oi = self.oi
         out = []
-        buff = {"max_read_l": 0}
-        m_bin = [0]
+        buff = buff if buff is not None else {"max_read_l": 0}
+        m_bin = m_bin if m_bin is not None else [0]
 
         def prepad(read_len):
             if 2 * read_len > m_bin[0]:
@@ -514,20 +518,27 @@ class TpuClassifier:
                     bin2c = CBuf(bin2s[k], prepad(int(lens[k])))
                     delete_small_score_rst(oi, res, sd0, sd1, buff, bin2c, off)
                     detect_primary(res.hits, int(lens[k]))
-                out.append(format_sam(oi, res, output_seq, max_sec_n))
-        return "".join(out)
+                out.append(res)
+        return out
+
+    def classify_to_sam(self, reads, output_seq=False, max_sec_n=5) -> str:
+        return "".join(
+            format_sam(self.oi, res, output_seq, max_sec_n)
+            for res in self.classify_results(reads))
 
 
 class _Session:
-    """Per-thread_id session for the Engine API (persistent buff state)."""
+    """Per-thread_id session for the Engine API: persistent RM_buffer
+    state (max_read_l filter mode survives across read_classify calls,
+    cly_mt.c:963-1006), full rescore + primary detection per batch."""
 
     def __init__(self, cl: TpuClassifier):
         self.cl = cl
+        self.buff = {"max_read_l": 0}
+        self.m_bin = [0]
 
-    def classify_read(self, name, seq, qual):
-        # one-at-a-time API path; batched path is classify_to_sam
-        res, sds, bin2s, lens = self.cl._classify_sub([(name, seq, qual)])
-        return res[0]
+    def classify_batch(self, reads) -> list:
+        return self.cl.classify_results(reads, self.buff, self.m_bin)
 
 
 def codec_seq(seq):

@@ -47,7 +47,11 @@ class FmArrays:
         base = np.asarray(ti.bwt_base, dtype=np.int64)[:, :5]  # [n_blk, 5]
         bits = np.asarray(ti.bwt_bits, dtype=np.uint32)        # [n_blk, 5, 8]
         n_blk = bits.shape[0]
-        pc = np.bitwise_count(bits).astype(np.int64)           # [n_blk, 5, 8]
+        if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+            pc = np.bitwise_count(bits).astype(np.int64)       # [n_blk, 5, 8]
+        else:  # numpy 1.x: byte-view + unpackbits popcount
+            pc = np.unpackbits(bits.view(np.uint8), axis=-1).reshape(
+                *bits.shape, 32).sum(axis=-1, dtype=np.int64)
         excl = np.cumsum(pc, axis=2) - pc                      # within-block
         base32 = (base[:, :, None] + excl).astype(np.uint32)
         occ32 = np.stack(

@@ -21,3 +21,24 @@ def test_tpu_engine_sam_equals_golden(golden_oracle_index):
     assert eng.stats["fm_searches"] > 100
     # fallbacks must be rare
     assert eng.stats["walk_fallback"] <= eng.stats["fm_walks"] * 0.05 + 5
+
+
+def test_engine_api_tpu_backend_equals_golden(golden_index_dir):
+    """Engine(backend='tpu') must produce the same SAM_FULL as the golden
+    (VERDICT r3 weak #4: the session path must run the FULL rescore +
+    primary-detection flow of classify_to_sam, not raw _classify_sub)."""
+    import shutil
+
+    from desamba_tpu.engine.api import Engine
+
+    d = golden_index_dir
+    for f in ("nodes.dmp", "names.dmp"):
+        if not os.path.exists(os.path.join(d, f)):
+            shutil.copy(os.path.join(GOLD, f), d)
+    eng = Engine(str(d), backend="tpu")
+    sam = eng.read_classify(os.path.join(GOLD, "reads.fq"),
+                            thread_id=1, thread_num=1)
+    assert sam == open(os.path.join(GOLD, "classify_full.sam")).read()
+    # RM_buffer state persists across calls on the same thread_id
+    sam2 = eng.read_classify(os.path.join(GOLD, "reads.fq"), thread_id=1)
+    assert sam2 == sam
