@@ -68,8 +68,13 @@ def cmd_index(argv):
         from .index.tensor_index import save_tensor_format
 
         save_tensor_format(idx, out)
+    import resource
+
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"index built in {time.time()-t0:.1f}s: {idx.n_kmer} kmers, "
-          f"{idx.n_unitig} unitigs", file=sys.stderr)
+          f"{idx.n_unitig} unitigs, peak RSS {rss_gb:.2f} GB "
+          f"({rss_gb * 1e9 / max(1, idx.ref_total):.1f} B/bp)",
+          file=sys.stderr)
 
 
 def cmd_classify(argv):

