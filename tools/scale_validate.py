@@ -1,0 +1,109 @@
+"""Scale validation: device+fallback agreement vs the native engine on the
+realistic community index (VERDICT r3 item 1).
+
+Runs the FastClassifier (device pipeline + exact-replay fallback) and the
+bit-exact native C++ engine over the same reads from the scale community,
+and reports:
+  - device throughput (reads/s) and fallback fraction
+  - taxon-level agreement (read-level tid calls, including 'unclassified')
+  - truth accuracy of both engines (read names carry the true tid)
+
+Usage: python tools/scale_validate.py [idx_dir] [n_reads] [n_native]
+  n_native: how many of the reads to also run through the native engine
+  (it is host-bound; at 100 Mbp scale it runs ~1-2 orders slower than the
+  device path on this 2-core host).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+R = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, R)
+sys.path.insert(0, os.path.join(R, "tests"))
+
+
+def truth_tid(name: str) -> int:
+    return int(name.split("_")[1].split(".")[0])
+
+
+def main():
+    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/desamba_scale"
+    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    n_native = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+    idx_dir = os.path.join(base, "idx")
+
+    from desamba_tpu.engine.fast_engine import FastClassifier
+    from desamba_tpu.engine.native import NativeClassifier
+    from desamba_tpu.index.format_ref import RefFormatIndex
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.oracle.classify import OracleIndex
+    from scale_data import make_reads_vec
+
+    t0 = time.time()
+    oi = OracleIndex(RefFormatIndex(idx_dir))
+    print(f"index load {time.time()-t0:.1f}s, L={oi.L}", flush=True)
+
+    refs = [(r.name, r.seq) for r in read_fastx(os.path.join(base, "ref.fa"))]
+    t0 = time.time()
+    reads = make_reads_vec(refs, seed=99, n_reads=n_reads,
+                           read_len=(1_000, 3_000), err=0.10)
+    print(f"reads gen {time.time()-t0:.1f}s ({n_reads})", flush=True)
+
+    t0 = time.time()
+    cl = FastClassifier(oi)
+    print(f"FastClassifier init {time.time()-t0:.1f}s", flush=True)
+    warm = reads[:512]
+    t0 = time.time()
+    cl.classify_batch(warm, block=2048)
+    print(f"warm (compile) {time.time()-t0:.1f}s", flush=True)
+
+    cl.stats = dict(n_reads=0, n_fallback=0)
+    t0 = time.time()
+    fast = cl.classify_batch(reads, block=2048)
+    dt = time.time() - t0
+    frac = cl.stats["n_fallback"] / max(1, cl.stats["n_reads"])
+    print(f"device+fallback: {n_reads} reads in {dt:.1f}s = "
+          f"{n_reads/dt:.1f} reads/s, fallback {frac:.3f}", flush=True)
+
+    # truth accuracy of the fast path
+    tids = [cl.tid_of(r.ref_ID) for r in fast]
+    truth = [truth_tid(r[0]) for r in reads]
+    acc = sum(t == u for t, u in zip(tids, truth)) / n_reads
+    ncls = sum(t != 0 for t in tids)
+    print(f"fast truth-tid accuracy {acc:.4f} (classified {ncls}/{n_reads})",
+          flush=True)
+
+    # native agreement on a subset
+    nat = NativeClassifier(oi, n_threads=2)
+    sub = reads[:n_native]
+    t0 = time.time()
+    nres = nat.classify_batch(sub)
+    dtn = time.time() - t0
+    print(f"native: {n_native} reads in {dtn:.1f}s = {n_native/dtn:.1f} "
+          f"reads/s", flush=True)
+
+    def native_tid(rr):
+        prim = next((h for h in rr.hits if h.primary == 1), None)
+        if prim is None:
+            return 0
+        return cl.tid_of(prim.ref_ID)
+
+    ntids = [native_tid(r) for r in nres]
+    agree = sum(a == b for a, b in zip(tids[:n_native], ntids))
+    print(f"device-vs-native tid agreement {agree}/{n_native} = "
+          f"{agree/n_native:.4f}", flush=True)
+    nacc = sum(t == u for t, u in zip(ntids, truth[:n_native])) / n_native
+    print(f"native truth-tid accuracy {nacc:.4f}", flush=True)
+    # where they disagree, who was right?
+    d_right = sum(a == u and b != u
+                  for a, b, u in zip(tids[:n_native], ntids, truth))
+    n_right = sum(b == u and a != u
+                  for a, b, u in zip(tids[:n_native], ntids, truth))
+    print(f"disagreements: device-right {d_right}, native-right {n_right}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
