@@ -41,17 +41,14 @@ class FmArrays:
     def __init__(self, ti=None, device=None, _from=None):
         if _from is not None:
             (self.occ32, self.pad, self.rank, self.hash13,
-             self.sa_uni, self.sa_off, self.dollar_pos, self.L), () = _from
+             self.sa_uni, self.sa_off, self.dollar_pos, self.L,
+             self.lfc), () = _from
             return
         put = partial(jax.device_put, device=device)
         base = np.asarray(ti.bwt_base, dtype=np.int64)[:, :5]  # [n_blk, 5]
         bits = np.asarray(ti.bwt_bits, dtype=np.uint32)        # [n_blk, 5, 8]
         n_blk = bits.shape[0]
-        if hasattr(np, "bitwise_count"):  # numpy >= 2.0
-            pc = np.bitwise_count(bits).astype(np.int64)       # [n_blk, 5, 8]
-        else:  # numpy 1.x: byte-view + unpackbits popcount
-            pc = np.unpackbits(bits.view(np.uint8), axis=-1).reshape(
-                *bits.shape, 32).sum(axis=-1, dtype=np.int64)
+        pc = _popcount_np(bits)                                # [n_blk, 5, 8]
         excl = np.cumsum(pc, axis=2) - pc                      # within-block
         base32 = (base[:, :, None] + excl).astype(np.uint32)
         occ32 = np.stack(
@@ -67,13 +64,67 @@ class FmArrays:
         # so the 'index'-sharded engine stacks them like any other array
         self.dollar_pos = put(jnp.asarray(int(ti.dollar_pos), dtype=jnp.int32))
         self.L = put(jnp.asarray(int(ti.L), dtype=jnp.int32))
+        self.lfc = put(jnp.asarray(_build_lfc(
+            np.asarray(ti.bwt_pad),
+            base32.transpose(0, 2, 1).reshape(n_blk * 8, 5),
+            bits.transpose(0, 2, 1).reshape(n_blk * 8, 5),
+            np.asarray(ti.rank, dtype=np.int64), int(ti.dollar_pos),
+            int(ti.L))))
+
+
+LFC_SHIFT = 29          # char in bits 29-31, next row in bits 0-28
+LFC_ROW_MASK = (1 << LFC_SHIFT) - 1
+
+
+def _popcount_np(a: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(a).astype(np.int64)
+    return np.unpackbits(a.view(np.uint8), axis=-1).reshape(
+        *a.shape, 32).sum(axis=-1, dtype=np.int64)
+
+
+def _build_lfc(pad: np.ndarray, base32: np.ndarray, bits32: np.ndarray,
+               rank: np.ndarray, dollar_pos: int, L: int) -> np.ndarray:
+    """Fused LF table: lfc[r] = (char(r) << 29) | LF(r).
+
+    lf_cur's (bwt_char, occ) pair is TWO dependent HBM gathers per LF
+    step — the row walks (cly.c:1339-1378 analog) and SA resolution
+    (cly.c:1353-1359 analog) pay them serially at every step. One uint32
+    per row fuses both into ONE gather, halving both the gather count
+    and the serial latency chain of stages 2-3. Costs 4 B/row of HBM
+    (~400 MB at 100 Mbp) — v5e HBM capacity buys speed here.
+
+    char 0-5 as in the raw stream; pad nibbles (> 5) and rows >= L store
+    char 7 with next = 0 (callers treat c > 5 as bad). Rows must fit 29
+    bits (L < 2^29 per shard; beyond that shard the index)."""
+    n_rows = pad.shape[0]
+    if L + int(rank[5]) >= (1 << LFC_SHIFT):
+        raise NotImplementedError(
+            "index shard exceeds 2^29 BWT rows; shard the index "
+            "(parallel/shard_index.py)")
+    r = np.arange(n_rows, dtype=np.int64)
+    c = pad.astype(np.int64)
+    bad = (c > 5) | (r >= L)
+    cs = np.where(bad, 0, c)
+    c_occ = np.minimum(cs, 4)
+    w = r >> 5
+    base_v = base32[w, c_occ].astype(np.int64)
+    mask = (np.uint32(1) << (r & 31).astype(np.uint32)) - np.uint32(1)
+    within = _popcount_np(bits32[w, c_occ] & mask)
+    v = base_v + within
+    v = np.where(cs == 5, dollar_pos, v)
+    nxt = v + rank[np.minimum(cs, 5)]
+    out = np.where(bad, np.uint32(7) << LFC_SHIFT,
+                   (cs.astype(np.uint32) << LFC_SHIFT)
+                   | nxt.astype(np.uint32))
+    return out.astype(np.uint32)
 
 
 jax.tree_util.register_pytree_node(
     FmArrays,
     lambda fm: (
         (fm.occ32, fm.pad, fm.rank, fm.hash13, fm.sa_uni, fm.sa_off,
-         fm.dollar_pos, fm.L),
+         fm.dollar_pos, fm.L, fm.lfc),
         (),
     ),
     lambda aux, leaves: FmArrays(_from=(leaves, aux)),
@@ -99,13 +150,15 @@ def bwt_char(fm: FmArrays, r):
 def lf_cur(fm: FmArrays, r):
     """occ with c=0xff + rank[c]: returns (char, next_row) per lane.
 
-    char 5 ('$') maps to DOLLOR_POS + rank[5] (bwt.c:55 + caller rank add);
-    char > 5 (pad nibble 0xF) is flagged via char value (caller aborts)."""
-    c = bwt_char(fm, r)
-    c_occ = jnp.clip(c, 0, 4)
-    v = occ(fm, r, c_occ)
-    v = jnp.where(c == 5, jnp.asarray(fm.dollar_pos, jnp.int32), v)
-    nxt = v + fm.rank[jnp.clip(c, 0, 5)]
+    ONE fused-table gather (see _build_lfc) instead of the raw
+    bwt_char + occ pair — two DEPENDENT gathers that serialized every
+    LF step of the row walks and SA resolution.
+
+    char 5 ('$') maps to DOLLOR_POS + rank[5] (bwt.c:55 + caller rank
+    add); char > 5 (pad nibble 0xF) comes back as 7 (caller aborts)."""
+    w = fm.lfc[jnp.asarray(r, jnp.int32)]
+    c = (w >> LFC_SHIFT).astype(jnp.int32)
+    nxt = (w & jnp.uint32(LFC_ROW_MASK)).astype(jnp.int32)
     return c, nxt
 
 
