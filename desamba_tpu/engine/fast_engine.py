@@ -99,17 +99,12 @@ WALK_BURST = 12         # row-walk steps before compacting stragglers
 def _band(W: int) -> int:
     """Half-width of the stage-4 diagonal band. Indel diagonal drift is a
     random walk with per-base variance ~2*err/3; at 18% error and 4 kb this
-    is sigma~22, so W>>5 covers >5 sigma. The returned value is snapped so
-    the band-score K dimension (2*band + 16) lands exactly on a 128-lane
-    multiple: Mosaic pads the innermost (lane) axis to 128, so K=145 would
-    physically occupy 256 lanes — 43% of stage-4's compute wasted on pad."""
-    ideal = min(128, max(32, W >> 5))
-    # round UP to the next 128 multiple: snapping down collapsed the 3072
-    # bucket's ideal band 96 to 56 (~3 sigma), silently losing band-MEM
-    # score on misaligned tails (ADVICE r3); one extra 128-lane tile for
-    # the 2-4 kb buckets is the price of the full 5-sigma coverage
-    Kp = max(128, -(-(2 * ideal + 16) // 128) * 128)
-    return (Kp - 16) // 2
+    is sigma~22, so W>>5 covers >5 sigma. The SWAR banded scorer
+    (band_score_packed) works on 16-code words, so the band-score K
+    dimension (2*band + 16) only needs to be a 16 multiple — always true
+    for these values — and the r2/r3 128-lane snap (which either collapsed
+    coverage to ~3 sigma or doubled the compute, ADVICE r3) is gone."""
+    return min(128, max(32, W >> 5))
 
 
 def _enable_compile_cache():
@@ -157,6 +152,23 @@ def stage0_unpack(packed, lens):
     return codes2, jnp.concatenate([lens, lens])
 
 
+def _read_words(packed):
+    """uint32[2Bp, W/16] LSB-first packed code words, fwd rows then rc:
+    the wire format (stage0_unpack docstring) already stores 4 codes per
+    byte LSB-first, so the per-strand byte halves viewed as little-endian
+    u32 put code t of each 16-code word at bits 2t — exactly the layout
+    band_score_packed and RefArrays.ref_words_lsb use. Zero unpack cost:
+    one bitcast."""
+    import jax
+    import jax.numpy as jnp
+
+    Bp, Wq2 = packed.shape
+    Wq = Wq2 // 2
+    both = jnp.concatenate([packed[:, :Wq], packed[:, Wq:]], axis=0)
+    return jax.lax.bitcast_convert_type(
+        both.reshape(2 * Bp, Wq // 4, 4), jnp.uint32)
+
+
 def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
                   nw0: int = 0):
     """Returns (stage1, stage2, stage3, stage4) closed over static ek
@@ -168,8 +180,7 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
     from ..ops.ekmer import _probe_reads, kmer_lo26
     from ..ops.fm import interval_search, row_walks
     from ..ops.locate import expand_refpos, resolve_rows
-    from ..ops.matchblock import band_score_jnp
-    from ..ops.refwin import gather_band_windows
+    from ..ops.matchblock import band_score_packed
     from ..ops.seeds import top_seeds
 
     def stage1(w01, codes2, lengths2):
@@ -368,25 +379,36 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
         vote_c = jnp.stack([v1, v2, v3], axis=1)
         return ref_c, diag_c, vote_c
 
-    def stage4(ra, codes_i, lengths2, ref_c, diag_c, vote_c, B2: int,
+    def stage4(ra, read_w2, lengths2, ref_c, diag_c, vote_c, B2: int,
                K: int):
-        """Banded rescore of every candidate; strand+candidate combine."""
-        W = codes_i.shape[1]
+        """Banded rescore of every candidate; strand+candidate combine.
+
+        read_w2: uint32[B2, W/16] LSB-first packed read codes (the wire
+        bytes of both strands viewed <u4 — see _read_words). K here is
+        the FULL band-score width Kp = 2*band + 16: the band start is
+        aligned down to a 16-code word boundary and widened by the
+        worst-case 16-code slack, so the word gather needs no per-lane
+        shifts and coverage is >= +-band at any alignment."""
+        W = 16 * read_w2.shape[1]
         C = ref_c.shape[1]
-        band = K // 2
+        band = (K - 16) // 2
         ref_f = ref_c.reshape(-1)          # [B2*C]
         diag_f = diag_c.reshape(-1)
         lane_f = jnp.repeat(jnp.arange(B2, dtype=jnp.int32), C)
-        # word-gather path: align the band start down to a 16-code word
-        # boundary and widen the band by the worst-case 16-code slack
-        # (Kp = 2*band + 16, guaranteed >= +-band coverage at any
-        # alignment) — same coverage, 16x fewer random HBM gathers than
-        # per-position bytes, and Kp is the 128-lane multiple _band
-        # arranged for
-        Kp = 2 * band + 16
         g0a = (diag_f - band) & ~15
-        win = gather_band_windows(ra, ref_f, g0a, W + Kp)
-        bs = band_score_jnp(codes_i[lane_f], lengths2[lane_f], win, K=Kp)
+        nw = W // 16 + K // 16 + 1
+        total_w = ra.ref_words_lsb.shape[0]
+        widx = (g0a >> 4)[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+        win_w = ra.ref_words_lsb[jnp.clip(widx, 0, total_w - 1)]
+        NREF0 = ra.ref_offset.shape[0]
+        rc0 = jnp.clip(ref_f, 0, NREF0 - 1)
+        lo = ra.ref_offset[rc0]
+        hi = lo + ra.ref_len[rc0]
+        ok = ref_f >= 0
+        rel_lo = jnp.where(ok, lo - g0a, 0)
+        rel_hi = jnp.where(ok, hi - g0a, 0)
+        bs = band_score_packed(read_w2[lane_f], lengths2[lane_f], win_w,
+                               rel_lo, rel_hi, K=K)
         B = B2 // 2
 
         def fold(x):  # [B2, C] -> [B, 2C]: fwd candidates then rc
@@ -456,8 +478,8 @@ def _build_full(lek: int, sbm: int, mask_bits: int, min_match: int,
         ref_c, diag_c, vote_c = s3(fm, loc, lengths2, fsp, hit, tot, qleft,
                                    sel, B2=B2, nwR=nwR)
         W = codes2.shape[1]
-        out = s4(ra, codes_i, lengths2, ref_c, diag_c, vote_c, B2=B2,
-                 K=2 * _band(W))
+        out = s4(ra, _read_words(packed), lengths2, ref_c, diag_c, vote_c,
+                 B2=B2, K=2 * _band(W) + 16)
         B = B2 // 2
         ne = n_exist[:B] + n_exist[B:]
         return jnp.stack([out[k] for k in PACK_KEYS] + [ne])

@@ -232,11 +232,11 @@ class ShardedFastClassifier(FastClassifier):
                      B2=B2, nwR=nwR)
             return tuple(x[None] for x in out)
 
-        def b4(ra, ref_map, codes_i, lengths2, ref_c, diag_c, vote_c,
+        def b4(ra, ref_map, read_w2, lengths2, ref_c, diag_c, vote_c,
                B2, K):
             import jax.numpy as jnp
 
-            out = s4(_local(ra), codes_i, lengths2,
+            out = s4(_local(ra), read_w2, lengths2,
                      ref_c[0], diag_c[0], vote_c[0], B2=B2, K=K)
             # local -> global ref numbering for the cross-shard merge
             rl = out["ref"]
@@ -279,6 +279,13 @@ class ShardedFastClassifier(FastClassifier):
         self._sm0 = jax.jit(shard_map(
             b0, mesh=mesh, in_specs=(P("data"), P("data")),
             out_specs=(P("data"), P("data")), check_vma=False))
+        from .fast_engine import _read_words
+
+        # per-data-shard [fwd; rc] word rows — same strand-pair-local
+        # row convention as b0 (see stage0_unpack docstring)
+        self._smw = jax.jit(shard_map(
+            _read_words, mesh=mesh, in_specs=(P("data"),),
+            out_specs=P("data"), check_vma=False))
         self._sm1 = jax.jit(shard_map(
             b1, mesh=mesh, in_specs=(IX(self.ek_s), P("data"), P("data")),
             out_specs=(DI,) * 4, check_vma=False))
@@ -343,8 +350,8 @@ class ShardedFastClassifier(FastClassifier):
         ref_c, diag_c, vote_c = self._sm3(B2l, nwR)(
             self.fm_s, self.loc_s, lengths2, fsp, hit, tot, qleft, sel)
         W = codes2.shape[1]
-        res4 = self._sm4(B2l, 2 * _band(W))(
-            self.ra_s, self.ref_map, codes_i, lengths2,
+        res4 = self._sm4(B2l, 2 * _band(W) + 16)(
+            self.ra_s, self.ref_map, self._smw(packed), lengths2,
             ref_c, diag_c, vote_c)
         out = self._sm5(res4)
         # exist-kmer evidence for the fallback gate: a read is replayable

@@ -28,6 +28,8 @@ engine consumes band_score_* directly (engine/fast_engine.py stage 4).
 """
 from __future__ import annotations
 
+import functools
+import operator
 from functools import partial
 
 import jax
@@ -250,3 +252,111 @@ def band_score_jnp(read, rlen, win, K: int, q_block: int = 256):
     q0s = jnp.arange(0, W, q_block, dtype=i32)
     (score, q_st, q_ed), _ = jax.lax.scan(step, init, q0s)
     return dict(score=score, q_st=q_st, q_ed=q_ed)
+
+
+# ---------------------------------------------------- banded, packed ----
+def _pairmask(n):
+    """uint32 mask of the first n 2-bit code slots (n int32 in [0, 16])."""
+    n = jnp.asarray(n, jnp.uint32)
+    full = n >= 16
+    m = (jnp.uint32(1) << (2 * jnp.where(full, 0, n))) - jnp.uint32(1)
+    return jnp.where(full, jnp.uint32(0xFFFFFFFF), m)
+
+
+def _hibit(x):
+    """Index of the highest set bit of uint32 x (x != 0), via binary
+    search — jnp has no clz."""
+    x = jnp.asarray(x, jnp.uint32)
+    r = jnp.zeros(x.shape, jnp.int32)
+    for s in (16, 8, 4, 2, 1):
+        t = x >> s
+        has = t != 0
+        r = r + jnp.where(has, s, 0)
+        x = jnp.where(has, t, x)
+    return r
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def band_score_packed(read_w, rlen, win_w, rel_lo, rel_hi, K: int):
+    """band_score_jnp on 2-bit PACKED words: 16 codes per uint32, SWAR.
+
+    The int8 formulation streams B*W*K one-byte compares through the VPU
+    nine times; here a whole word of 16 code-compares is one XOR + two
+    ANDs, and the 9-wide run AND is eight funnel-shifted word ANDs — a
+    ~16x cut in elementwise volume for the same semantics (the one place
+    the reference's byte-wise sdp_match scan, cly.c:2330-2435, maps onto
+    TPU SWAR instead of vector bytes). It also frees K from the 128-lane
+    tile snap: any multiple of 16 works, so the band can be exactly the
+    5-sigma ideal instead of the next 128 multiple (_band, fast_engine).
+
+    read_w: uint32[B, W/16] packed read codes, code t of word w at bits
+        2t (LSB-first; this IS the H2D wire format bytes viewed <u4)
+    rlen:   int32[B] read lengths
+    win_w:  uint32[B, NW] packed window codes, window code p at word
+        p//16 bit 2*(p%16); NW >= W/16 + K/16 + 1 (gathered from a
+        16-aligned start; see RefArrays.ref_words_lsb)
+    rel_lo/rel_hi: int32[B] — window codes p outside [rel_lo, rel_hi)
+        are invalid (out of the candidate genome / past the gather
+        start), the 255-sentinel analog of gather_band_windows
+    K: band width in codes (multiple of 16); eq(q, k) compares read q
+        with window code q + k for k in [0, K)
+
+    Returns the exact band_score_jnp dict: score = # read positions
+    ENDING a >= 9-code diagonal run, q_st/q_ed = first/last such
+    position (W / -1 when score == 0).
+    """
+    B, Wq = read_w.shape
+    W = Wq * 16
+    NW = win_w.shape[1]
+    nj = K // 16
+    assert K % 16 == 0 and NW >= Wq + nj + 1, (K, NW, Wq)
+    SAK = S_A_KMER_L  # 9
+    u32 = jnp.uint32
+    read_w = jnp.asarray(read_w, u32)
+    win_w = jnp.asarray(win_w, u32)
+    EVEN = u32(0x55555555)
+
+    wq = jnp.arange(Wq, dtype=jnp.int32)[None, :]          # [1, Wq]
+    vr = _pairmask(jnp.clip(rlen[:, None] - 16 * wq, 0, 16))  # [B, Wq]
+    m = jnp.arange(16, dtype=u32)[None, :, None]           # [1, 16, 1]
+    sh = 2 * m
+    acc = jnp.zeros((B, Wq), u32)  # run-START hit bits (even positions)
+    for j in range(nj):
+        w0 = win_w[:, j : j + Wq][:, None, :]              # [B, 1, Wq]
+        w1 = win_w[:, j + 1 : j + 1 + Wq][:, None, :]
+        a = jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh)))
+        x = ~(read_w[:, None, :] ^ a)
+        eqc = x & (x >> 1) & EVEN                          # [B, 16, Wq]
+        # window validity: code t of (m, w) is window pos 16(w+j) + m + t
+        base = (16 * (wq + j))[:, None, :] + m.astype(jnp.int32)
+        s = jnp.clip(rel_lo[:, None, None] - base, 0, 16)
+        e = jnp.clip(rel_hi[:, None, None] - base, 0, 16)
+        eqc = eqc & (_pairmask(e) & ~_pairmask(s)) & vr[:, None, :]
+        eqn = jnp.concatenate(
+            [eqc[:, :, 1:], jnp.zeros_like(eqc[:, :, :1])], axis=2)
+        r9 = eqc
+        for i in range(1, SAK):
+            r9 = r9 & ((eqc >> u32(2 * i)) | (eqn << u32(32 - 2 * i)))
+        acc = acc | functools.reduce(
+            operator.or_, [r9[:, t] for t in range(16)])
+    # run-start bit at q  ->  run-END bit at q + 8 (band_score_jnp counts
+    # positions ending a run; same totals, q_st/q_ed must match exactly)
+    accp = jnp.concatenate([jnp.zeros_like(acc[:, :1]), acc[:, :-1]], axis=1)
+    acc_e = (acc << u32(2 * (SAK - 1))) | (accp >> u32(32 - 2 * (SAK - 1)))
+    score = _popcount32(acc_e).sum(axis=1)
+    nz = acc_e != 0
+    lsb = _popcount32((acc_e & (~acc_e + u32(1))) - u32(1)) >> 1
+    q_st = jnp.where(nz, 16 * wq + lsb, W).min(axis=1)
+    q_ed = jnp.where(nz, 16 * wq + (_hibit(acc_e | u32(1)) >> 1), -1
+                     ).max(axis=1)
+    has = score > 0
+    return dict(score=score,
+                q_st=jnp.where(has, q_st, W),
+                q_ed=jnp.where(has, q_ed, -1))

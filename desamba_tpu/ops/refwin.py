@@ -30,8 +30,8 @@ class RefArrays:
 
     def __init__(self, ti=None, device=None, _from=None):
         if _from is not None:
-            (self.ref_bytes, self.ref_words, self.ref_offset,
-             self.ref_len), () = _from
+            (self.ref_bytes, self.ref_words, self.ref_words_lsb,
+             self.ref_offset, self.ref_len), () = _from
             return
         put = partial(jax.device_put, device=device)
         if np.asarray(ti.ref_offset).max(initial=0) + np.asarray(
@@ -44,13 +44,23 @@ class RefArrays:
         pad = (-len(rb)) % 4
         rw = np.pad(rb, (0, pad)).view("<u4")
         self.ref_words = put(jnp.asarray(rw))
+        # LSB-first repack for the SWAR banded scorer (band_score_packed):
+        # code t of word w at bits 2t — the same order as the read wire
+        # format — so read/window words compare with one XOR. Per-byte
+        # 2-bit-pair reversal LUT, then the same <u4 view.
+        b = np.arange(256, dtype=np.uint8)
+        rev = (((b >> 6) & 3) | (((b >> 4) & 3) << 2)
+               | (((b >> 2) & 3) << 4) | ((b & 3) << 6)).astype(np.uint8)
+        self.ref_words_lsb = put(jnp.asarray(
+            np.pad(rev[rb], (0, pad)).view("<u4")))
         self.ref_offset = put(jnp.asarray(ti.ref_offset, dtype=jnp.int32))
         self.ref_len = put(jnp.asarray(ti.ref_len, dtype=jnp.int32))
 
 
 jax.tree_util.register_pytree_node(
     RefArrays,
-    lambda ra: ((ra.ref_bytes, ra.ref_words, ra.ref_offset, ra.ref_len), ()),
+    lambda ra: ((ra.ref_bytes, ra.ref_words, ra.ref_words_lsb,
+                 ra.ref_offset, ra.ref_len), ()),
     lambda aux, leaves: RefArrays(_from=(leaves, aux)),
 )
 

@@ -376,3 +376,50 @@ def test_fast_engine_long_read_block_partitioning(golden_oracle_index):
     junk = random_genome(rng, 7000)
     (res_j,) = cl.classify_batch([("long_junk", junk, None)])
     assert res_j.ref_ID == -1, res_j
+
+
+def test_band_score_packed_vs_jnp():
+    """The SWAR packed-word banded scorer == band_score_jnp exactly,
+    across K values, partial reads, genome-boundary masks and negative
+    virtual starts (the rel_lo/rel_hi analog of the 255 sentinel)."""
+    from desamba_tpu.ops.matchblock import band_score_jnp, band_score_packed
+
+    rng = np.random.default_rng(7)
+    B, W = 8, 512
+    for K in (16, 80, 144):
+        read = rng.integers(0, 4, (B, W)).astype(np.int32)
+        rlen = rng.integers(30, W + 1, B).astype(np.int32)
+        NW = W // 16 + K // 16 + 1
+        winc = rng.integers(0, 4, (B, 16 * NW)).astype(np.int32)
+        # plant MEMs of varying lengths on random diagonals
+        for b in range(B):
+            for _ in range(6):
+                k = int(rng.integers(0, K))
+                q = int(rng.integers(0, W - 40))
+                ln = int(rng.integers(4, 40))
+                winc[b, q + k : q + k + ln] = read[b, q : q + ln]
+        vlo = rng.integers(0, 60, B).astype(np.int32)
+        vhi = rng.integers(16 * NW - 60, 16 * NW, B).astype(np.int32)
+        vlo[0], vhi[0] = 0, 16 * NW          # fully valid
+        vlo[1], vhi[1] = 200, 200            # fully invalid
+        # jnp reference: 255 sentinel outside [vlo, vhi)
+        win = winc[:, : W + K].copy()
+        idx = np.arange(W + K)[None, :]
+        win[(idx < vlo[:, None]) | (idx >= vhi[:, None])] = 255
+        ref = {k2: np.asarray(v) for k2, v in
+               band_score_jnp(read, rlen, win[:, : W + K - 1 + 1],
+                              K=K).items()}
+        # packed: LSB-first 2-bit words
+        sh = 2 * (np.arange(16 * NW) % 16).astype(np.uint32)
+        packed = np.zeros((B, NW), np.uint32)
+        np.add.at(packed.T, np.arange(16 * NW) // 16,
+                  (winc.astype(np.uint32) << sh).T)
+        rsh = 2 * (np.arange(W) % 16).astype(np.uint32)
+        read_w = np.zeros((B, W // 16), np.uint32)
+        np.add.at(read_w.T, np.arange(W) // 16,
+                  (read.astype(np.uint32) << rsh).T)
+        out = {k2: np.asarray(v) for k2, v in
+               band_score_packed(read_w, rlen, packed, vlo, vhi,
+                                 K=K).items()}
+        for f in ("score", "q_st", "q_ed"):
+            assert (out[f] == ref[f]).all(), (K, f, out[f], ref[f])

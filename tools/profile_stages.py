@@ -82,7 +82,7 @@ def main():
     s1, s2, s3, s4 = fe._build_stages(
         cl.ek.lek, cl.ek.single_base_max, cl.ek.mask_bits, min_match=20,
         nw0=cl.ek.n_words0)
-    K = 2 * fe._band(W)
+    K = 2 * fe._band(W) + 16
 
     def upto(n):
         def run(fm, loc, ra, w01, packed, lens):
@@ -101,7 +101,8 @@ def main():
             r3 = s3(fm, loc, lengths2, *r2, B2=B2, nwR=nwR)
             if n == 3:
                 return sum(x.sum() for x in r3)
-            out = s4(ra, codes_i, lengths2, *r3, B2=B2, K=K)
+            out = s4(ra, fe._read_words(packed), lengths2, *r3, B2=B2,
+                     K=K)
             return sum(v.sum() for v in out.values())
 
         return jax.jit(run)
