@@ -582,7 +582,9 @@ class FastClassifier:
         self.oi = oi
         ti = from_oracle_index(oi)
         self.fm = FmArrays(ti)
-        self.ek = EkArrays(ti)
+        # fold big exist filters into the fast gather tier (EkArrays
+        # docstring); the exact-replay fallback keeps the unfolded filter
+        self.ek = EkArrays(ti, fold_bits="auto")
         self.loc = LocArrays(ti)
         self.ra = RefArrays(ti)
         self.min_score = min_score

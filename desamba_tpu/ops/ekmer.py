@@ -24,9 +24,21 @@ class EkArrays:
     measurably cheaper than two of N (same trick as the fused sp/ep occ
     in ops/fm.py). `n_words0` (static aux) is the w1 offset; equal-sized
     filters are implied by equal mask_bits, which the sharded engine
-    already requires."""
+    already requires.
 
-    def __init__(self, ti=None, device=None, _from=None):
+    fold_bits k > 0 ORs each bitmap down by 2^k — bit-exactly the bloom
+    with mask_bits - 2k (the address split is pure low-bits of the hash),
+    trading false-positive rate for table size. Measured on v5e: random
+    gather rate drops ~1.7x once the table leaves the last ~32 MB cache
+    tier, so the fast engine folds big filters to stay in the fast tier
+    (FastClassifier auto rule; the ORACLE/native/hybrid paths always use
+    the unfolded filter — bit parity there is the point). fold_bits='auto'
+    folds while both bitmaps exceed 8M words (32 MB) AND the projected
+    per-bitmap load stays under 35% (a fold doubles -log(1-load); at 35%
+    each, joint bloom FP ~12% — beyond that seed-island noise starts
+    displacing real top_seeds runs)."""
+
+    def __init__(self, ti=None, device=None, _from=None, fold_bits=0):
         if _from is not None:
             (self.w01,), (self.n_words0, self.mask_bits, self.lek,
                           self.single_base_max) = _from
@@ -36,12 +48,22 @@ class EkArrays:
         put = partial(jax.device_put, device=device)
         w0 = ti.ek_words0
         w1 = ti.ek_words1
-        w0 = w0.view("uint32") if w0.dtype != "uint32" else w0
-        w1 = w1.view("uint32") if w1.dtype != "uint32" else w1
-        self.n_words0 = int(np.asarray(w0).size)
-        self.w01 = put(jnp.asarray(
-            np.concatenate([np.asarray(w0), np.asarray(w1)])))
+        w0 = np.asarray(w0.view("uint32") if w0.dtype != "uint32" else w0)
+        w1 = np.asarray(w1.view("uint32") if w1.dtype != "uint32" else w1)
         self.mask_bits = int(ti.ek_mask_bits)
+        if fold_bits == "auto":
+            fold_bits = 0
+            load = _bitmap_load(w0)
+            while (w0.size >> fold_bits) > (8 << 20) and load <= 0.35:
+                fold_bits += 1
+                load = 1 - (1 - load) ** 2
+        for _ in range(fold_bits):
+            w0 = w0[: w0.size // 2] | w0[w0.size // 2 : 2 * (w0.size // 2)]
+            w1 = w1[: w1.size // 2] | w1[w1.size // 2 : 2 * (w1.size // 2)]
+            self.mask_bits -= 1
+        self.fold_bits = fold_bits
+        self.n_words0 = int(w0.size)
+        self.w01 = put(jnp.asarray(np.concatenate([w0, w1])))
         self.lek = int(ti.ek_len)
         self.single_base_max = int(ti.ek_single_base_max)
         if (1 << self.mask_bits) > (1 << 35):
@@ -58,6 +80,18 @@ class EkArrays:
     @property
     def w1(self):
         return self.w01[self.n_words0 :]
+
+
+def _bitmap_load(w) -> float:
+    """Sampled fraction of set bits (the fold rule needs ~1% accuracy)."""
+    import numpy as np
+
+    s = np.asarray(w[:: max(1, w.size // (1 << 20))])
+    if hasattr(np, "bitwise_count"):
+        bits = int(np.bitwise_count(s).sum())
+    else:
+        bits = int(np.unpackbits(s.view(np.uint8)).sum())
+    return bits / (s.size * 32)
 
 
 import jax.tree_util as _jtu  # noqa: E402
