@@ -84,9 +84,13 @@ def _bucket(n: int, lo: int = 256) -> int:
 
 
 ROWS_PER_SEARCH = 2  # MEM_SEARCH_FAST (cly.c:1471)
-FM_EXT_CAP = 48  # cap the lockstep interval search depth; per-row walks
-                 # (fixed 96-step scan) carry matches further — bounds the
-                 # while-loop straggler cost of one long-matching lane
+FM_EXT_CAP = 28  # cap the lockstep interval search depth; per-row walks
+                 # carry matches further — bounds the while-loop straggler
+                 # cost: each straggler ROUND costs ~0.3 ms of dispatch
+                 # overhead at scale regardless of lane count, and the max
+                 # over ~20k lanes runs the loop to its cap nearly every
+                 # chunk (was 48; intervals past 41 chars just shift their
+                 # tail into the row walks)
 REFPOS_PER_ANCHOR = 4   # occurrences expanded per anchor (cap; cly.c:842
                         # allows 50 — beyond 4 the vote rarely changes)
 VOTE_TILE = 64          # anchors per pairwise-vote scan step
@@ -94,6 +98,13 @@ N_CAND = 3              # candidates per strand (top / far-diag / other-ref)
 IV_BURST = 12           # lockstep interval-search steps before compacting
                         # the stragglers (iterate-compact-iterate)
 WALK_BURST = 12         # row-walk steps before compacting stragglers
+WALK_MID = 16           # second walk phase rounds (on a 4x compaction)
+WALK_TAIL = 32          # final walk phase rounds: total walk cap 60 — at
+                        # long-read error rates the max anchor tail over
+                        # ~3k surviving lanes hits ~60-80, so an uncapped
+                        # tail ran ~70 serial gather rounds for anchors
+                        # whose extra length almost never changes the vote
+                        # (anchors are capped, not lost)
 
 
 def _band(W: int) -> int:
@@ -282,12 +293,12 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
         swi = jnp.minimum(selw, NC - 1)
         stw_c = (spw[swi], ptrw[swi], nw[swi],
                  donew[swi] | (selw >= NC), badw[swi])
-        # middle burst + second compaction: the tail of long walks (the
-        # ~96-step finish loop) otherwise runs every iteration on NCW
-        # lanes when only a few percent are still matching
+        # middle burst + second compaction: the tail of long walks
+        # otherwise runs every iteration on NCW lanes when only a few
+        # percent are still matching
         st2 = row_walks(fm, codes_i, stw_c[0], stw_c[1], wlens[swi],
                         lanes=wlanes[swi], with_trace=False, state=stw_c,
-                        trace_cap=2 * WALK_BURST, return_state=True)
+                        trace_cap=WALK_MID, return_state=True)
         sp2, ptr2, n2, done2, bad2 = st2
         live2 = ~done2
         NCW2 = max(128, NCW // 4)
@@ -300,7 +311,7 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
                  done2[swi2] | (selw2 >= NCW), bad2[swi2])
         wrc = row_walks(fm, codes_i, st2_c[0], st2_c[1], wlens[swi][swi2],
                         lanes=wlanes[swi][swi2], with_trace=False,
-                        state=st2_c)
+                        state=st2_c, trace_cap=WALK_TAIL)
         n_mid = n2.at[selw2].set(wrc["steps"], mode="drop")
         sp_mid = sp2.at[selw2].set(wrc["final_sp"], mode="drop")
         bad_mid = bad2.at[selw2].set(wrc["bad_char"], mode="drop")

@@ -12,6 +12,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some environments (e.g. a tunneled-TPU sitecustomize) import jax at
+# interpreter start, freezing JAX_PLATFORMS before this file runs — the
+# env var above is then a silent no-op and every test op goes through
+# the remote chip (slow, and a tunnel hiccup hangs the whole suite).
+# Backends initialize lazily, so a config update here still wins as long
+# as no computation has run yet.
+if os.environ.get("DESAMBA_TEST_TPU") != "1":
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
