@@ -664,8 +664,23 @@ class FastClassifier:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(self.mesh, P("data"))
-        packed = jax.device_put(packed, data)
-        lens = jax.device_put(lens, data)
+        if jax.process_count() > 1:
+            # multi-host data mesh (SURVEY.md section 2.3): every process
+            # encodes the same global batch deterministically and
+            # contributes the row block its devices own ('data' rows are
+            # process-major in make_mesh device order). The caller reads
+            # its addressable result shards (tests/dist_pipeline_worker.py
+            # is the 2-process harness).
+            np_, pid = jax.process_count(), jax.process_index()
+            Bp = packed.shape[0]
+            lo, hi = pid * Bp // np_, (pid + 1) * Bp // np_
+            packed = jax.make_array_from_process_local_data(
+                data, packed[lo:hi], (Bp, packed.shape[1]))
+            lens = jax.make_array_from_process_local_data(
+                data, lens[lo:hi], (Bp,))
+        else:
+            packed = jax.device_put(packed, data)
+            lens = jax.device_put(lens, data)
         return self._smfull(self._fm_r, self._loc_r, self._ra_r,
                             self._w01_r, packed, lens)
 
