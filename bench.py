@@ -201,6 +201,8 @@ def bench_reference(idx_dir, fq, n_threads):
     throughput, not load amortization."""
     if not _ensure_ref_binary():
         return None
+    import re
+
     cachef = os.path.join(
         CACHE, f"ref_rps_t{n_threads}_{os.path.basename(idx_dir)}.txt")
     if os.path.exists(cachef):
@@ -210,32 +212,24 @@ def bench_reference(idx_dir, fq, n_threads):
     lines = open(fq).read().splitlines(keepends=True)
     n_total = len(lines) // 4
     part = os.path.join(CACHE, "ref_chunk.fq")
-    # load-time probe: 4 reads ~ pure index load
-    with open(part, "w") as f:
-        f.writelines(lines[:16])
-    t0 = time.time()
-    p = subprocess.run([REF_BIN, "classify", "-t", str(n_threads),
-                        idx_dir, part], capture_output=True)
-    t_load = time.time() - t0
-    if p.returncode != 0:
-        log("bench: reference C failed on the load probe")
-        return None
-    log(f"bench: reference C index load ~{t_load:.1f}s (subtracted)")
-    chunk = 1024  # a crashing read costs one chunk; keep the loss bounded
+    chunk = 2048  # a crashing read costs one chunk; keep the loss bounded
     n_ok, t_ok, n_crash = 0, 0.0, 0
     for c0 in range(0, n_total, chunk):
         with open(part, "w") as f:
             f.writelines(lines[4 * c0 : 4 * (c0 + chunk)])
         n = min(chunk, n_total - c0)
-        t0 = time.time()
         p = subprocess.run([REF_BIN, "classify", "-t", str(n_threads),
                             idx_dir, part], capture_output=True)
-        dt = time.time() - t0
-        if p.returncode != 0:
+        # the reference prints its own classify-section WALL time:
+        # "N sequences processed in T s" (cly_mt.c) — load excluded,
+        # which is the fair steady-state comparison (our side's index
+        # load is also outside the timed runs)
+        m = re.search(rb"sequences processed in ([0-9.]+)s", p.stderr)
+        if p.returncode != 0 or not m:
             n_crash += 1
             continue
         n_ok += n
-        t_ok += max(dt - t_load, 1e-3)
+        t_ok += float(m.group(1))
     if not n_ok:
         return None
     if n_crash:
@@ -244,8 +238,8 @@ def bench_reference(idx_dir, fq, n_threads):
     rps = n_ok / t_ok
     with open(cachef, "w") as f:
         f.write(str(rps))
-    log(f"bench: reference C (-t {n_threads}) {n_ok} reads in {t_ok:.2f}s "
-        f"= {rps:.2f} reads/s (classify only)")
+    log(f"bench: reference C (-t {n_threads}) {n_ok} reads, classify "
+        f"sections {t_ok:.2f}s = {rps:.2f} reads/s")
     return rps
 
 
