@@ -66,3 +66,35 @@ def test_native_empty_and_short_reads(golden_oracle_index):
     assert all(r.hits == [] for r in results)
     sam = "".join(format_sam(golden_oracle_index, r, False) for r in results)
     assert sam.count("\t4\t*\t0\t0\t*\t*\t0\t0\t") == 2
+
+
+def test_mixed_length_filter_mode_native_pool(golden_oracle_index):
+    """VERDICT r3 item 9 (C++ pool side): NativeClassifier with 2 striped
+    workers on the mode-flipping workload (test_so_api._mixed_length_reads)
+    must match per-worker-buffer oracle runs read for read, and diverge
+    from its own n_threads=1 output (the max_read_l ladder,
+    cly.c:2953-2981, really split across workers)."""
+    from desamba_tpu.engine.native import NativeClassifier
+    from desamba_tpu.oracle.driver import OracleClassifier
+    from test_so_api import _mixed_length_reads
+
+    oi = golden_oracle_index
+    reads = _mixed_length_reads()
+
+    def hits_sig(res):
+        return [
+            [(h.ref_ID, h.sum_score, h.primary, h.q_st, h.q_ed)
+             for h in r.hits] for r in res]
+
+    for T in (1, 2):
+        nat = NativeClassifier(oi, n_threads=T)
+        got = hits_sig(nat.classify_batch(reads))
+        workers = [OracleClassifier(oi) for _ in range(T)]
+        exp = [None] * len(reads)
+        for w in range(T):
+            for i in range(w, len(reads), T):
+                exp[i] = workers[w].classify_read(*reads[i])
+        assert got == hits_sig(exp), f"T={T}"
+        if T == 1:
+            sig1 = got
+    assert got != sig1, "workload failed to diverge across workers"

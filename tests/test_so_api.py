@@ -143,3 +143,94 @@ def test_thread_pool_cycling(so):
     for i in range(6):
         sam = _classify(lib, idx, data, len(data), thread_id=i % 3)
         assert sam == exp
+
+
+def _mixed_length_reads():
+    """A workload that FLIPS the per-worker filter-mode ladder
+    (cly.c:2953-2981) mid-stream: read 0 is a 600 bp read (ratchets
+    max_read_l past NGS_MAX_READ_L=510 for whichever worker gets it);
+    the rest are noisy 330 bp reads whose scores land between the NGS
+    threshold (26) and the 3G ladder (64/74) — kept by a worker still in
+    NGS mode, zeroed by a worker whose ladder flipped. With 2-worker
+    striping, worker 0 flips after read 0 while worker 1 never does."""
+    import numpy as np
+
+    from desamba_tpu.io.fastx import read_fastx
+    from testdata import mutate_read
+
+    refs = [r.seq for r in read_fastx(os.path.join(GOLD, "ref.fa"))]
+    rng = np.random.default_rng(77)
+    code = np.zeros(256, np.uint8)
+    for j, b in enumerate(b"ACGT"):
+        code[b] = j
+    reads = []
+    frag = code[np.frombuffer(refs[0][5000:5600], np.uint8)]
+    reads.append(("mix_long.0", mutate_read(rng, frag, 0.05), b""))
+    for i in range(1, 11):
+        g = refs[i % len(refs)]
+        st = 2000 + 700 * i
+        frag = code[np.frombuffer(g[st : st + 330], np.uint8)]
+        reads.append((f"mix_short.{i}", mutate_read(rng, frag, 0.20), b""))
+    return [(n, s, b"I" * len(s)) for n, s, _ in reads]
+
+
+def _striped_oracle_sam(oi, reads, n_workers):
+    """The ground truth: per-worker OracleClassifier buffers, reads
+    striped w, w+T, ... (kt_for without stealing), SAM_FULL in read
+    order."""
+    from desamba_tpu.oracle.driver import OracleClassifier, format_sam
+
+    workers = [OracleClassifier(oi) for _ in range(n_workers)]
+    res = [None] * len(reads)
+    for w in range(n_workers):
+        for i in range(w, len(reads), n_workers):
+            name, seq, qual = reads[i]
+            res[i] = workers[w].classify_read(name, seq, qual)
+    return "".join(format_sam(oi, r, True) for r in res)
+
+
+def test_mixed_length_filter_mode_so_registry(so, golden_oracle_index):
+    """VERDICT r3 item 9 (.so side): read_classify with thread_num=2 on
+    the mode-flipping workload must equal the 2-worker striped oracle —
+    and must NOT equal the single-worker run (proving the ladder actually
+    diverged across workers in this test)."""
+    lib, idx = so
+    reads = _mixed_length_reads()
+    fq = b"".join(b"@" + n.encode() + b"\n" + s + b"\n+\n" + q + b"\n"
+                  for n, s, q in reads)
+    sam2 = _classify(lib, idx, fq, len(fq), thread_id=21, thread_num=2)
+    exp2 = _striped_oracle_sam(golden_oracle_index, reads, 2)
+    assert sam2 == exp2
+    sam1 = _classify(lib, idx, fq, len(fq), thread_id=22, thread_num=1)
+    exp1 = _striped_oracle_sam(golden_oracle_index, reads, 1)
+    assert sam1 == exp1
+    assert sam1 != sam2, (
+        "workload failed to flip the ladder differently across workers")
+
+
+def test_mixed_length_filter_mode_persists_across_calls(so,
+                                                        golden_oracle_index):
+    """The registry keeps per-thread_id buffers BETWEEN read_classify
+    calls (cly_mt.c:963-1006): a first call containing the long read
+    leaves thread 23's worker ladder flipped, so a second call of only
+    short reads is judged in 3G mode — unlike a fresh thread_id."""
+    lib, idx = so
+    reads = _mixed_length_reads()
+    long_fq = b"".join(b"@" + n.encode() + b"\n" + s + b"\n+\n" + q + b"\n"
+                       for n, s, q in reads[:1])
+    short_fq = b"".join(b"@" + n.encode() + b"\n" + s + b"\n+\n" + q + b"\n"
+                        for n, s, q in reads[1:])
+    _classify(lib, idx, long_fq, len(long_fq), thread_id=23, thread_num=1)
+    flipped = _classify(lib, idx, short_fq, len(short_fq), thread_id=23,
+                        thread_num=1)
+    fresh = _classify(lib, idx, short_fq, len(short_fq), thread_id=24,
+                      thread_num=1)
+    from desamba_tpu.oracle.driver import OracleClassifier, format_sam
+
+    w = OracleClassifier(golden_oracle_index)
+    w.classify_read(*reads[0])
+    exp_flipped = "".join(
+        format_sam(golden_oracle_index, w.classify_read(n, s, q), True)
+        for n, s, q in reads[1:])
+    assert flipped == exp_flipped
+    assert flipped != fresh, "ladder state leaked or never flipped"
