@@ -171,6 +171,22 @@ class ShardedEngine:
             # reconstruct it first instead of sorting the shard-concat order
             if len(cands) > 1:
                 cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_pos)
+                # the monolithic 200/400 candidate caps applied to the
+                # UNION (cly.c:2878-2988 head; VERDICT r3 item 5): each
+                # shard capped only its own list, so a read with chains
+                # spread over shards could keep more than a monolithic
+                # run. Monolithically the caps see discovery order before
+                # rescoring; that order interleaves genomes and is not
+                # reconstructible from shard outputs, so they are applied
+                # in the deterministic pos order — same bound, candidate
+                # set can differ only for >200-chain reads whose tail
+                # scores hover at the 50 cutoff
+                if len(cands) > 200:
+                    keep = 200
+                    while keep < len(cands) and cands[keep].sum_score > 50:
+                        keep += 1
+                    del cands[keep:]
+                del cands[400:]
                 cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_mem_score)
             merged.hits = cands
             detect_primary(merged.hits, len(seq))

@@ -167,8 +167,15 @@ def test_sharded_fast_classifier_matches_monolithic(
             assert a.ref_ID == want(a.ref_ID, b.ref_ID), a.name
             diffs.append(a.name)
         else:
+            # (b') non-tie genome flips are allowed ONLY when the sharded
+            # path scored strictly HIGHER: per-shard seeding can recover
+            # a hit that monolithic seed competition (cly.c:1521-1528)
+            # suppressed — the sharded call dominates, never regresses
+            # (measured: 1/72 on this set, sharded 205 vs mono 154, and
+            # the sharded call is the read's true source genome)
+            assert a.score > b.score, (a.name, a.score, b.score)
             diffs.append(a.name)
-    assert len(diffs) <= max(2, len(reads) // 10), diffs
+    assert len(diffs) <= max(2, len(reads) // 33), diffs
     # (c) reference-primary agreement: sharded >= monolithic device-only
     prim = {}
     for line in open(os.path.join(GOLD, "classify.sam")):
@@ -238,24 +245,28 @@ def test_sharded_engine_matches_monolithic_classification(
     got = primaries(sam)
     exp = primaries(open(os.path.join(GOLD, "classify.sam")).read())
     assert set(got) == set(exp)
-    # the merged primary reaches the monolithic primary's score modulo tiny
-    # layout effects (rescore windows near genome boundaries read the packed
-    # neighbor's bases in the monolithic ref_bin, cly.c:2573); the target may
-    # differ only on (near-)ties — mosaic genomes share blocks and the shard
-    # merge breaks ties in shard order, the monolithic qsort in chain order
-    # (seed stepping also adapts to competing anchors from other shards'
-    # genomes, cly.c:1521-1528, so scores drift a few percent)
+    # Tie-only contract (VERDICT r3 item 5): with the merge reproducing
+    # the monolithic pos-order + glibc mem-score sort, the 200/400 union
+    # caps, and detect_primary over original ref_IDs, the ONLY permitted
+    # divergences are
+    #   - same-genome score drift <= 8: per-shard adaptive seed stepping
+    #     (cly.c:1521-1528) sees only local competing anchors, shifting a
+    #     couple of SDP block boundaries (measured 1 and 8 on this set)
+    #   - a different genome ONLY at exactly equal final scores (a true
+    #     tie the two layouts break differently)
     def score(v):
         return int(v[1].split(":")[2]) if v[1].startswith("AS") else 0
 
     u_got = {k for k, v in got.items() if v[0].startswith("*")}
     u_exp = {k for k, v in exp.items() if v[0].startswith("*")}
     assert u_got == u_exp  # classified/unclassified agree exactly
-    diffs = [k for k in exp if got[k][0] != exp[k][0]]
     for k in exp:
-        assert abs(score(got[k]) - score(exp[k])) <= max(
-            5, score(exp[k]) // 10), f"{k}: score {got[k]} vs {exp[k]}"
-    assert len(diffs) <= len(exp) // 10, f"{len(diffs)}/{len(exp)} differ"
+        if got[k][0] != exp[k][0]:
+            assert score(got[k]) == score(exp[k]), (
+                f"{k}: non-tie primary diff {got[k]} vs {exp[k]}")
+        else:
+            assert abs(score(got[k]) - score(exp[k])) <= 8, (
+                f"{k}: score {got[k]} vs {exp[k]}")
 
 
 def test_distributed_multiprocess():
