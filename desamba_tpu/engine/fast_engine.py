@@ -580,7 +580,7 @@ class FastClassifier:
                  filter_min_length: int = DEFAULT_FILTER_MIN_LENGTH,
                  mesh=None, exact_fallback: bool = True,
                  fallback_threads: int | None = None,
-                 max_width: int = 8192):
+                 max_width: int = 8192, amb_margin: int = AMB_MARGIN):
         _enable_compile_cache()
         import jax
 
@@ -612,6 +612,7 @@ class FastClassifier:
         if mesh is not None:
             self._shard_stages(mesh)
         self.exact_fallback = exact_fallback
+        self.amb_margin = amb_margin
         self.max_width = max_width
         self._fallback_threads = fallback_threads or min(
             8, os.cpu_count() or 1)
@@ -885,8 +886,8 @@ class FastClassifier:
                                     and cv >= self.filter_min_length)
                 d = max((k for k in dirv if k[0] == rid),
                         key=lambda k: dirv[k])[1]
-                ambiguous = (ok and sc - second <= AMB_MARGIN) or (
-                    not ok and eff >= thr - AMB_MARGIN)
+                ambiguous = (ok and sc - second <= self.amb_margin) or (
+                    not ok and eff >= thr - self.amb_margin)
             else:
                 rid, sc, d, ok = -1, 0, 0, False
                 ambiguous = n_exist >= AMB_MIN_EXIST
@@ -936,9 +937,9 @@ class FastClassifier:
             if self.exact_fallback:
                 ambiguous = (
                     # another genome scored within tie-order distance
-                    (ok and sc - int(res["score_alt"][i]) <= AMB_MARGIN)
+                    (ok and sc - int(res["score_alt"][i]) <= self.amb_margin)
                     # hovering at the filter threshold
-                    or (rid >= 0 and not ok and eff >= thr - AMB_MARGIN)
+                    or (rid >= 0 and not ok and eff >= thr - self.amb_margin)
                     # seeds existed but the fast front-end found no anchors
                     or (rid < 0 and int(res["n_exist"][i]) >= AMB_MIN_EXIST)
                 )

@@ -52,8 +52,11 @@ def main():
     print(f"reads gen {time.time()-t0:.1f}s ({n_reads})", flush=True)
 
     t0 = time.time()
-    cl = FastClassifier(oi)
-    print(f"FastClassifier init {time.time()-t0:.1f}s", flush=True)
+    margin = int(os.environ.get("DESAMBA_AMB_MARGIN", "0"))
+    kw = dict(amb_margin=margin) if margin else {}
+    cl = FastClassifier(oi, **kw)
+    print(f"FastClassifier init {time.time()-t0:.1f}s"
+          + (f" (amb_margin={margin})" if margin else ""), flush=True)
     # warm on the FULL set once: it must compile every (W, Bp) bucket
     # shape the timed run uses (the axon remote-compile helper bypasses
     # the persistent XLA cache, and each compile costs ~1 min on this
