@@ -39,6 +39,7 @@ from types import SimpleNamespace
 import numpy as np
 
 from .fast_engine import (
+    AMB_MARGIN,
     FastClassifier,
     _band,
     _build_stages,
@@ -112,7 +113,8 @@ class ShardedFastClassifier(FastClassifier):
 
     def __init__(self, ois, mesh, min_score=None, filter_min_length=None,
                  exact_fallback: bool = False,
-                 fallback_threads: int | None = None, ref_ids=None):
+                 fallback_threads: int | None = None, ref_ids=None,
+                 amb_margin: int = AMB_MARGIN):
         from ..constants import DEFAULT_FILTER_MIN_LENGTH, DEFAULT_MIN_SCORE
 
         _enable_compile_cache()
@@ -184,6 +186,7 @@ class ShardedFastClassifier(FastClassifier):
         for j, b in enumerate(b"acgt"):
             self._code[b] = j
         self.exact_fallback = exact_fallback
+        self.amb_margin = amb_margin
         self.max_width = 8192  # classify_batch long-read block partition cap
         self._fallback_threads = fallback_threads or min(
             8, os.cpu_count() or 1)

@@ -27,7 +27,7 @@ class EkArrays:
     already requires.
 
     fold_bits k > 0 ORs each bitmap down by 2^k — bit-exactly the bloom
-    with mask_bits - 2k (the address split is pure low-bits of the hash),
+    with mask_bits - k (the address split is pure low-bits of the hash),
     trading false-positive rate for table size. Measured on v5e: random
     gather rate drops ~1.7x once the table leaves the last ~32 MB cache
     tier, so the fast engine folds big filters to stay in the fast tier
@@ -52,11 +52,19 @@ class EkArrays:
         w1 = np.asarray(w1.view("uint32") if w1.dtype != "uint32" else w1)
         self.mask_bits = int(ti.ek_mask_bits)
         if fold_bits == "auto":
+            # gate each fold on its PROJECTED load (ADVICE r4): folding at
+            # load<=0.35 could land the bitmap at up to 58%; require the
+            # post-fold load itself to stay under the 35% bound, on the
+            # denser of the two bitmaps (different hashes => different
+            # densities)
             fold_bits = 0
-            load = _bitmap_load(w0)
-            while (w0.size >> fold_bits) > (8 << 20) and load <= 0.35:
+            load = max(_bitmap_load(w0), _bitmap_load(w1))
+            while (w0.size >> fold_bits) > (8 << 20):
+                next_load = 1 - (1 - load) ** 2
+                if next_load > 0.35:
+                    break
                 fold_bits += 1
-                load = 1 - (1 - load) ** 2
+                load = next_load
         for _ in range(fold_bits):
             w0 = w0[: w0.size // 2] | w0[w0.size // 2 : 2 * (w0.size // 2)]
             w1 = w1[: w1.size // 2] | w1[w1.size // 2 : 2 * (w1.size // 2)]

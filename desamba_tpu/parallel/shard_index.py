@@ -192,23 +192,26 @@ class ShardedEngine:
             # that input is in chain_cmp_by_pos order (rescore.py:580), so
             # reconstruct it first instead of sorting the shard-concat order
             if len(cands) > 1:
-                cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_pos)
                 # the monolithic 200/400 candidate caps applied to the
                 # UNION (cly.c:2878-2988 head; VERDICT r3 item 5): each
                 # shard capped only its own list, so a read with chains
                 # spread over shards could keep more than a monolithic
-                # run. Monolithically the caps see discovery order before
-                # rescoring; that order interleaves genomes and is not
-                # reconstructible from shard outputs, so they are applied
-                # in the deterministic pos order — same bound, candidate
-                # set can differ only for >200-chain reads whose tail
-                # scores hover at the 50 cutoff
+                # run. Monolithically delete_small_score_rst sees the list
+                # in chain_cmp_by_score order (the qsort at cly.c:343), so
+                # the caps only ever drop the LOW-score tail; reproduce
+                # that by sorting the union by the same comparator before
+                # capping, then rebuild the pos order the final mem-score
+                # qsort expects (rescore.py:580)
                 if len(cands) > 200:
+                    from ..oracle.classify import chain_cmp_by_score
+
+                    cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_score)
                     keep = 200
                     while keep < len(cands) and cands[keep].sum_score > 50:
                         keep += 1
                     del cands[keep:]
-                del cands[400:]
+                    del cands[400:]
+                cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_pos)
                 cands = qsort_list(cands, SZ_CHAIN, chain_cmp_by_mem_score)
             merged.hits = cands
             detect_primary(merged.hits, len(seq))
