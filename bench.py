@@ -41,7 +41,9 @@ CACHE = "/tmp/desamba_tpu_bench"
 REF_BIN = os.environ.get("DESAMBA_REF_BIN", "/tmp/refbuild/bin/deSAMBA")
 SCALE_BP = int(float(os.environ.get("BENCH_SCALE_BP", "100e6")))
 N_READS = int(os.environ.get("BENCH_READS", "8192"))
-N_AGREE = int(os.environ.get("BENCH_AGREE", "1024"))  # native-subset size
+# native agreement subset: default the FULL bench set (VERDICT r4 weak 6 —
+# at ~1k reads/s native this costs ~10 s; no reason to sample under it)
+N_AGREE = int(os.environ.get("BENCH_AGREE", "0")) or None
 BLOCK = int(os.environ.get("BENCH_BLOCK", "2048"))
 FALLBACK_BASELINE_RPS = float(os.environ.get("BENCH_BASELINE_RPS", "100.0"))
 
@@ -141,7 +143,7 @@ def check_accuracy(cl, reads, res):
     """Device-vs-native agreement + truth accuracy (the regression gate)."""
     from desamba_tpu.engine.native import NativeClassifier
 
-    sub = reads[:N_AGREE]
+    sub = reads[:N_AGREE] if N_AGREE else reads
     nat = NativeClassifier(cl.oi, n_threads=os.cpu_count() or 1)
     t0 = time.time()
     nres = nat.classify_batch(sub)
@@ -153,18 +155,15 @@ def check_accuracy(cl, reads, res):
         prim = next((h for h in rr.hits if h.primary == 1), None)
         return cl.tid_of(prim.ref_ID) if prim is not None else 0
 
-    dt_ids = [cl.tid_of(r.ref_ID) for r in res[:N_AGREE]]
+    dt_ids = [cl.tid_of(r.ref_ID) for r in res[: len(sub)]]
     nt_ids = [native_tid(r) for r in nres]
     agree = sum(a == b for a, b in zip(dt_ids, nt_ids)) / len(sub)
     truth = [truth_tid(r[0]) for r in reads]
     acc_d = sum(cl.tid_of(r.ref_ID) == t
                 for r, t in zip(res, truth)) / len(reads)
-    acc_n = sum(a == b for a, b in zip(nt_ids, truth[:N_AGREE])) / len(sub)
+    acc_n = sum(a == b for a, b in zip(nt_ids, truth[: len(sub)])) / len(sub)
     log(f"bench: device-vs-native tid agreement {agree:.4f} on {len(sub)} "
         f"reads; truth accuracy device {acc_d:.4f} / native {acc_n:.4f}")
-    if agree < 0.99:
-        log(f"bench: *** ACCURACY REGRESSION: agreement {agree:.4f} < "
-            f"0.99 ***")
     return agree
 
 
@@ -249,10 +248,18 @@ def main():
 
     rps, res, cl = bench_device(idx_dir, fq)
     reads = [(r.name, r.seq, r.qual) for r in read_fastx(fq)]
+    # the accuracy gate GATES (VERDICT r4 weak 3): a failure to run it, or
+    # agreement under 0.99, marks the JSON and exits nonzero — a silent
+    # accuracy collapse can no longer post a green number
     try:
-        check_accuracy(cl, reads, res)
+        agree = check_accuracy(cl, reads, res)
     except Exception as e:
         log(f"bench: accuracy gate failed to run ({e})")
+        agree = 0.0
+    regression = agree < 0.99
+    if regression:
+        log(f"bench: *** ACCURACY REGRESSION: agreement {agree:.4f} < "
+            f"0.99 — failing the run ***")
     # honest baselines (VERDICT r3 item 10): all cores AND the reference
     # CLI default thread count (cly_mt.c:469: 4); quote the better one
     ncpu = os.cpu_count() or 1
@@ -262,12 +269,30 @@ def main():
         if b:
             bases.append(b)
     base = max(bases) if bases else FALLBACK_BASELINE_RPS
-    print(json.dumps({
+    if bases:
+        # honest framing (VERDICT r4 weak 7): this host has few cores; the
+        # reference was designed for 16-32 threads (idx.c:241-306). Its
+        # classify section scales near-linearly to physical cores, so
+        # extrapolate: one chip vs a full server is the real comparison.
+        per_core = max(bases) / min(ncpu, 4)
+        log(f"bench: chip-vs-server framing: reference C measured at "
+            f"{max(bases):.0f} reads/s on {ncpu} cores; extrapolated to a "
+            f"16-core server ~{16 * per_core:.0f} reads/s and 32-core "
+            f"~{32 * per_core:.0f} reads/s (assumes linear scaling, "
+            f"idx.c:241-306) — one v5e chip at {rps:.0f} reads/s is "
+            f"{rps / (16 * per_core):.2f}x a 16-core server")
+    out = {
         "metric": "classify_long_reads_tpu_100Mbp",
         "value": round(rps, 2),
         "unit": "reads/sec/chip",
         "vs_baseline": round(rps / base, 3),
-    }))
+    }
+    if regression:
+        out["regression"] = True
+        out["agreement"] = round(agree, 4)
+    print(json.dumps(out))
+    if regression:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

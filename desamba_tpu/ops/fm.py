@@ -208,9 +208,17 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
         valid_c = ch <= 5
         cc = jnp.clip(ch, 0, 5).astype(i32)
         c_occ = jnp.clip(cc, 0, 4)
-        # one fused occ over [sp; ep]: halves the gather dispatches per step
-        both = occ(fm, jnp.concatenate([st["sp"], st["ep"]]),
-                   jnp.concatenate([c_occ, c_occ]))
+        # one fused occ over [sp; ep]: halves the gather dispatches per step.
+        # DONE lanes would otherwise keep re-gathering their final (random)
+        # sp/ep rows on every remaining round — clamp them to row 0, which
+        # coalesces in cache: most lanes break within a few rounds, so this
+        # removes the bulk of the burst's HBM gather volume
+        act = ~st["done"]
+        sp_a = jnp.where(act, st["sp"], 0)
+        ep_a = jnp.where(act, st["ep"], 0)
+        c_a = jnp.where(act, c_occ, 0)
+        both = occ(fm, jnp.concatenate([sp_a, ep_a]),
+                   jnp.concatenate([c_a, c_a]))
         nsp = fm.rank[cc] + both[:B]
         nep = fm.rank[cc] + both[B:]
         nsp = jnp.where(valid_c, nsp, 0)
@@ -220,7 +228,6 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
         ret0 = (ml >= l_min - 1) & (~brk1) & (ml >= l_max)
         brk2 = (~brk1) & (~ret0) & (nsp + 1 >= nep)
         stop = brk1 | ret0 | brk2
-        act = ~st["done"]
         new = dict(
             sp=jnp.where(act & ~stop, nsp, st["sp"]),
             ep=jnp.where(act & ~stop, nep, st["ep"]),
@@ -277,7 +284,9 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
 
     def step(carry, _):
         sp, ptr, n, done, bad = carry
-        c, nxt = lf_cur(fm, sp)
+        # done lanes: clamp the lfc gather to row 0 (cache-coalesced)
+        # instead of re-gathering their final random row every round
+        c, nxt = lf_cur(fm, jnp.where(done, 0, sp))
         ok = (ptr >= 0) & (ptr < W)
         want = jnp.where(ok, bin2[rows, jnp.clip(ptr, 0, W - 1)], -1)
         is_bad = c > 5
