@@ -350,9 +350,29 @@ def test_weak_scaling_pipeline(golden_index_dir):
     rps1 = run(1)
     rps2 = run(2)
     eff = rps2 / rps1
+    # per-read cross-process overhead: both legs run the SAME 4 virtual
+    # devices on the SAME physical cores (equal total compute), so the
+    # throughput delta is process isolation + gloo collectives + double
+    # dispatch, not oversubscription
+    ovh_ms = (1.0 / rps2 - 1.0 / rps1) * 1e3
     print(f"weak-scaling: 1-proc {rps1:.1f} reads/s, "
-          f"2-proc {rps2:.1f} reads/s, efficiency {eff:.2f}")
-    # 2 procs oversubscribe the same physical cores AND add gloo hops;
-    # the bar here is "the multi-host pipeline works and is not
-    # pathological", the real >=0.8 target is an ICI-mesh property
+          f"2-proc {rps2:.1f} reads/s, efficiency {eff:.2f}, "
+          f"cross-process overhead {ovh_ms:.2f} ms/read")
+    # committed artifact (VERDICT r4 weak 5): the number must be visible
+    # per round, not discarded with pytest stdout
+    art = os.environ.get(
+        "WEAKSCALE_ARTIFACT",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "WEAKSCALE_r05.json"))
+    import json
+
+    with open(art, "w") as f:
+        json.dump(dict(rps_1proc=round(rps1, 1), rps_2proc=round(rps2, 1),
+                       efficiency=round(eff, 3),
+                       overhead_ms_per_read=round(ovh_ms, 3),
+                       note="same 4 virtual CPU devices both legs; delta "
+                            "= gloo collectives + dual dispatch, not "
+                            "core oversubscription"), f, indent=1)
+    # gloo + dual-dispatch overhead on a 2-core CPU host; the >=0.8
+    # BASELINE target is an ICI-mesh property measured on real hardware
     assert eff > 0.3, eff
