@@ -44,7 +44,10 @@ N_READS = int(os.environ.get("BENCH_READS", "8192"))
 # native agreement subset: default the FULL bench set (VERDICT r4 weak 6 —
 # at ~1k reads/s native this costs ~10 s; no reason to sample under it)
 N_AGREE = int(os.environ.get("BENCH_AGREE", "0")) or None
-BLOCK = int(os.environ.get("BENCH_BLOCK", "2048"))
+# 4096-read chunks: measured 13.2k reads/s pure-device vs 12.0k at 2048
+# and ~12k at 8192 (per-read gather cost grows past 4096 — HBM pressure);
+# see PROFILE_r05.md
+BLOCK = int(os.environ.get("BENCH_BLOCK", "4096"))
 FALLBACK_BASELINE_RPS = float(os.environ.get("BENCH_BASELINE_RPS", "100.0"))
 
 

@@ -95,8 +95,14 @@ REFPOS_PER_ANCHOR = 4   # occurrences expanded per anchor (cap; cly.c:842
                         # allows 50 — beyond 4 the vote rarely changes)
 VOTE_TILE = 64          # anchors per pairwise-vote scan step
 N_CAND = 3              # candidates per strand (top / far-diag / other-ref)
-IV_BURST = 12           # lockstep interval-search steps before compacting
-                        # the stragglers (iterate-compact-iterate)
+IV_BURST = 2            # lockstep interval-search steps before the first
+                        # straggler compaction. Measured decay on the
+                        # 100 Mbp community (tools/lane_decay.py): live
+                        # lanes are 15% after round 1, 6.7% after round 2,
+                        # 1.1% after round 10 — and a TPU gather costs the
+                        # same for done lanes as live ones (DMA-bound), so
+                        # full-width rounds are pure waste past round 2
+IV_MID = 8              # second interval phase rounds (on the S/8 cut)
 WALK_BURST = 12         # row-walk steps before compacting stragglers
 WALK_MID = 16           # second walk phase rounds (on a 4x compaction)
 WALK_TAIL = 32          # final walk phase rounds: total walk cap 60 — at
@@ -229,7 +235,10 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
             fm, codes_i, 0, s_idx, sp0, ep0, max_rst_a, l_min_a, l_max_a,
             lanes=lane, max_steps=IV_BURST, return_state=True)
         live = ~st["done"]
-        NC2 = max(128, S // 4)
+        # first cut: S/8 (measured live after round 2 is ~6.7% — 1.9x
+        # margin; lanes past the cap are truncated at their current
+        # interval, same contract as before)
+        NC2 = max(128, S // 8)
         pos2 = jnp.cumsum(live.astype(jnp.int32)) - 1
         tgt2 = jnp.where(live & (pos2 < NC2), pos2, NC2)
         sel2 = jnp.full(NC2, S, jnp.int32).at[tgt2].set(
@@ -237,11 +246,29 @@ def _build_stages(lek: int, sbm: int, mask_bits: int, min_match: int,
         s2i = jnp.minimum(sel2, S - 1)
         st_c = {k: v[s2i] for k, v in st.items()}
         st_c["done"] = st_c["done"] | (sel2 >= S)
-        fin_c = interval_search(
+        mid_c = interval_search(
             fm, codes_i, 0, s_idx[s2i], sp0[s2i], ep0[s2i], max_rst_a[s2i],
             l_min_a[s2i], l_max_a[s2i], lanes=lane[s2i], state=st_c,
-            return_state=True)
-        res = {k: st[k].at[sel2].set(fin_c[k], mode="drop")
+            max_steps=IV_MID, return_state=True)
+        # second cut: S/32 (live after round 10 measured ~1.1% — 2.8x
+        # margin) for the long tail to the 28-step cap
+        live3 = ~mid_c["done"]
+        NC3 = max(128, S // 32)
+        pos3 = jnp.cumsum(live3.astype(jnp.int32)) - 1
+        tgt3 = jnp.where(live3 & (pos3 < NC3), pos3, NC3)
+        sel3 = jnp.full(NC3, NC2, jnp.int32).at[tgt3].set(
+            jnp.arange(NC2, dtype=jnp.int32), mode="drop")
+        s3i = jnp.minimum(sel3, NC2 - 1)
+        st_c3 = {k: v[s3i] for k, v in mid_c.items()}
+        st_c3["done"] = st_c3["done"] | (sel3 >= NC2)
+        s2i3 = s2i[s3i]
+        fin_c = interval_search(
+            fm, codes_i, 0, s_idx[s2i3], sp0[s2i3], ep0[s2i3],
+            max_rst_a[s2i3], l_min_a[s2i3], l_max_a[s2i3], lanes=lane[s2i3],
+            state=st_c3, return_state=True)
+        mid_f = {k: mid_c[k].at[sel3].set(fin_c[k], mode="drop")
+                 for k in ("nsp", "nep", "match_len", "ptr", "status")}
+        res = {k: st[k].at[sel2].set(mid_f[k], mode="drop")
                for k in ("nsp", "nep", "match_len", "ptr", "status")}
         res = dict(sp=res["nsp"], ep=res["nep"], match_len=res["match_len"],
                    ptr=res["ptr"], status=res["status"])

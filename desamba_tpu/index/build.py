@@ -262,11 +262,19 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     del ks_bkt
     # int32 per-position inverse by chunked binary search into kv
     inv = np.empty(n_valid, dtype=np.int32)
-    vcur = 0
-    for lo in range(0, nwk, CHUNK):
+    # chunk output offsets precomputed so the pool can fill inv slices
+    # concurrently (searchsorted releases the GIL; ~1.7x on 2 cores)
+    chunk_lo = list(range(0, nwk, CHUNK))
+    chunk_n = [int(in_run[lo : min(lo + CHUNK, nwk)].sum())
+               for lo in chunk_lo]
+    chunk_v = np.concatenate([[0], np.cumsum(chunk_n)])
+
+    def _inv_chunk(i):
+        lo = chunk_lo[i]
         kvv = _chunk_keys(lo, min(lo + CHUNK, nwk))
-        inv[vcur : vcur + kvv.size] = np.searchsorted(kv, kvv)
-        vcur += kvv.size
+        inv[chunk_v[i] : chunk_v[i] + kvv.size] = np.searchsorted(kv, kvv)
+
+    list(pool.map(_inv_chunk, range(len(chunk_lo))))
     del cat, in_run
     n_per_run = np.array([m[3] for m in run_meta], dtype=np.int64)
     run_off = np.concatenate([[0], np.cumsum(n_per_run)])
@@ -421,9 +429,6 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     merged_p = np.empty(n_merged, dtype=np.int32)
     merged_p[kmer_final] = pos
     merged_p[sp_final] = (uni_len[sp_u] - sp_len).astype(np.int32)[sord]
-    row_u = np.concatenate([np.arange(n_uni, dtype=np.int32), merged_u])
-    row_p = np.concatenate([uni_len.astype(np.int32), merged_p])
-    del merged_u, merged_p
 
     # rank (bwt.c:110-138): counts of chars over the BWT string
     cnt = np.bincount(bwt_codes, minlength=6).astype(np.int64)
@@ -438,16 +443,23 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
 
     # ---- step 6: sampled SA (no LF walk) ------------------------------
     log("sa")
+    # sampled rows read straight off the merged identity arrays (row r:
+    # sentinel r < n_uni -> (r, uni_len[r]); else merged row r - n_uni) —
+    # no full-length row_u/row_p concat copies
     s_rows = np.arange(0, L, NUM_BP_OCCUPY_ONE_SA, dtype=np.int64)
-    su = row_u[s_rows].copy()
-    spos = row_p[s_rows].copy()
+    sent = s_rows < n_uni
+    mi = np.maximum(s_rows - n_uni, 0)
+    su = np.where(sent, np.minimum(s_rows, n_uni - 1), merged_u[mi]
+                  ).astype(np.int64)
+    spos = np.where(sent, uni_len[np.minimum(s_rows, n_uni - 1)],
+                    merged_p[mi]).astype(np.int64)
     zero = spos == 0
     su[zero] = (su[zero] - 1) % n_uni
     spos[zero] = uni_len[su[zero]] + 1  # becomes len after the -1 below
     spos = spos - 1
     sa_uni = su.astype(np.uint32)
     sa_off = spos.astype(np.uint32)
-    del row_u, row_p, s_rows, su, spos, zero
+    del merged_u, merged_p, s_rows, su, spos, zero, sent, mi
 
     # ---- step 7: 13-mer prefix intervals ------------------------------
     log("hash13")
@@ -460,15 +472,17 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     sp_ok = sp_len[sord] >= L_PRE_IDX
     pref_m[sp_final[sp_ok]] = (spk_s[sp_ok] >> PSH).astype(np.int32)
     haspre = pref_m >= 0
-    pref = pref_m[haspre].astype(np.int64)
+    pref = pref_m[haspre]  # int32: prefixes are 26-bit
     del pref_m, sp_ok
-    rows = np.nonzero(haspre)[0] + n_uni  # +n_uni sentinel rows at front
+    rows = (np.nonzero(haspre)[0] + n_uni).astype(np.int32)  # + sentinels
     # pref is ascending (merged rows are key-sorted): group by run starts
     first_i = np.concatenate([[0], np.nonzero(np.diff(pref))[0] + 1]) \
         if pref.size else np.empty(0, np.int64)
-    upref = pref[first_i] if pref.size else np.empty(0, np.int64)
-    istart = rows[first_i]
-    iend = rows[np.concatenate([first_i[1:] - 1, [pref.size - 1]])] + 1 \
+    upref = pref[first_i].astype(np.int64) if pref.size \
+        else np.empty(0, np.int64)
+    istart = rows[first_i].astype(np.int64)
+    iend = rows[np.concatenate([first_i[1:] - 1, [pref.size - 1]])
+                ].astype(np.int64) + 1 \
         if pref.size else np.empty(0, np.int64)
     hsize = (1 << (2 * L_PRE_IDX)) + 1
     # hash13[h] = start of h's interval if present else end of the previous

@@ -184,21 +184,13 @@ def _probe_reads(w01, codes, lengths, lek: int, single_base_max: int,
         lo = (lo << jnp.uint32(2)) | cc
     kzero = (hi == 0) & (lo == 0)
     kmer = (hi, lo)
-    pos = p0 + stride * jnp.arange(n_g, dtype=jnp.int32)
-    in_read = pos[None, :] + lek <= lengths[:, None]
-    keep = ~fail & ~kzero & in_read
+    keep = ~fail & ~kzero
     h1 = u64.and_mask_bits(u64.hash64_1(kmer), mask_bits)
     h2 = u64.and_mask_bits(u64.hash64_2(kmer), mask_bits)
-    # clamp dead lanes (masked-out / past read end) to hash 0: their
-    # probe result is discarded anyway, and word-0 gathers coalesce in
-    # cache while the original random addresses each cost an HBM touch —
-    # in short-read-in-wide-bucket chunks a large fraction of grid
-    # positions is past the read end
-    z = jnp.uint32(0)
-    h1 = (jnp.where(keep, h1[0], z), jnp.where(keep, h1[1], z))
-    h2 = (jnp.where(keep, h2[0], z), jnp.where(keep, h2[1], z))
     r1, r2 = _probe_both(w01, n_words0, h1, h2)
-    return (keep & r1 & r2).astype(jnp.uint8)
+    pos = p0 + stride * jnp.arange(n_g, dtype=jnp.int32)
+    in_read = pos[None, :] + lek <= lengths[:, None]
+    return (keep & r1 & r2 & in_read).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("lek", "stride"))

@@ -208,17 +208,14 @@ def interval_search(fm: FmArrays, bin2, base_off, s_idx, sp0, ep0,
         valid_c = ch <= 5
         cc = jnp.clip(ch, 0, 5).astype(i32)
         c_occ = jnp.clip(cc, 0, 4)
-        # one fused occ over [sp; ep]: halves the gather dispatches per step.
-        # DONE lanes would otherwise keep re-gathering their final (random)
-        # sp/ep rows on every remaining round — clamp them to row 0, which
-        # coalesces in cache: most lanes break within a few rounds, so this
-        # removes the bulk of the burst's HBM gather volume
+        # one fused occ over [sp; ep]: halves the gather dispatches per
+        # step. (Round-5 measured: clamping DONE lanes' addresses to row 0
+        # does NOT help on TPU — the gather unit is DMA-descriptor-bound,
+        # so duplicate indices cost the same as random ones; see
+        # tools/gather_bench.py where sorted indices are no faster.)
         act = ~st["done"]
-        sp_a = jnp.where(act, st["sp"], 0)
-        ep_a = jnp.where(act, st["ep"], 0)
-        c_a = jnp.where(act, c_occ, 0)
-        both = occ(fm, jnp.concatenate([sp_a, ep_a]),
-                   jnp.concatenate([c_a, c_a]))
+        both = occ(fm, jnp.concatenate([st["sp"], st["ep"]]),
+                   jnp.concatenate([c_occ, c_occ]))
         nsp = fm.rank[cc] + both[:B]
         nep = fm.rank[cc] + both[B:]
         nsp = jnp.where(valid_c, nsp, 0)
@@ -284,9 +281,7 @@ def row_walks(fm: FmArrays, bin2, start_rows, ptrs, max_lens,
 
     def step(carry, _):
         sp, ptr, n, done, bad = carry
-        # done lanes: clamp the lfc gather to row 0 (cache-coalesced)
-        # instead of re-gathering their final random row every round
-        c, nxt = lf_cur(fm, jnp.where(done, 0, sp))
+        c, nxt = lf_cur(fm, sp)
         ok = (ptr >= 0) & (ptr < W)
         want = jnp.where(ok, bin2[rows, jnp.clip(ptr, 0, W - 1)], -1)
         is_bad = c > 5

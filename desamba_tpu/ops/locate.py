@@ -72,11 +72,7 @@ def resolve_rows(fm: FmArrays, loc: LocArrays, rows, valid, max_lf: int = 24):
         at_sample = (r & 7) == 0
         newly_done = (~done) & at_sample
         done2 = done | newly_done
-        # finished/bad lanes: clamp the lfc gather to row 0 (cache hit)
-        # instead of re-gathering their final random row each round
-        live = ~done2 & ~bad
-        c, nxt = lf_cur(fm, jnp.where(
-            live, jnp.clip(r, 0, fm.pad.shape[0] - 1), 0))
+        c, nxt = lf_cur(fm, jnp.clip(r, 0, fm.pad.shape[0] - 1))
         stepping = ~done2 & ~bad
         bad2 = bad | (stepping & (c >= 4))  # sentinel/pad: position unsafe
         r2 = jnp.where(stepping & (c < 4), nxt, r)

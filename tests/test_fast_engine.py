@@ -270,52 +270,6 @@ def test_fast_engine_mesh_matches_single(golden_oracle_index):
         assert (a.ref_ID, a.score, a.direction) == (b.ref_ID, b.score, b.direction)
 
 
-def test_matchblock_pallas_matches_jnp():
-    """The full-block Pallas kernel == the jnp reference on random and
-    structured blocks (VERDICT r1: the kernel must not be dead untested
-    code). Runs interpreted off-TPU; compiled on the chip."""
-    import jax
-
-    from desamba_tpu.ops.matchblock import matchblock_jnp, matchblock_pallas
-
-    interp = jax.default_backend() != "tpu"
-    rng = np.random.default_rng(7)
-    # small blocks: the Pallas interpreter costs ~10s per call on CPU
-    for T, Q in [(16, 128), (40, 100)]:
-        target = rng.integers(0, 4, T).astype(np.int32)
-        read = rng.integers(0, 4, Q).astype(np.int32)
-        # plant a long exact diagonal match
-        m = min(T, Q) // 2
-        read[5 : 5 + m] = target[3 : 3 + m]
-        tmask = np.ones(T, bool)
-        rmask = np.ones(Q, bool)
-        tmask[T - 4 :] = False
-        hj, rrj, rlj = (np.asarray(x) for x in matchblock_jnp(
-            target, tmask, read, rmask))
-        hp, rrp, rlp = (np.asarray(x) for x in matchblock_pallas(
-            target, tmask, read, rmask, interpret=interp))
-        assert (hj == hp).all()
-        assert (rrj == rrp).all()
-        assert (rlj == rlp).all()
-
-
-def test_matchblock_pallas_vmem_fallback():
-    """Blocks beyond the VMEM budget transparently use the jnp path."""
-    from desamba_tpu.ops.matchblock import matchblock_jnp, matchblock_pallas
-
-    rng = np.random.default_rng(8)
-    T, Q = 64, 128
-    target = rng.integers(0, 4, T).astype(np.int32)
-    read = rng.integers(0, 4, Q).astype(np.int32)
-    tmask = np.ones(T, bool)
-    rmask = np.ones(Q, bool)
-    hj, rrj, rlj = (np.asarray(x) for x in matchblock_jnp(
-        target, tmask, read, rmask))
-    hp, rrp, rlp = (np.asarray(x) for x in matchblock_pallas(
-        target, tmask, read, rmask, vmem_cap=64))  # force fallback
-    assert (hj == hp).all() and (rrj == rrp).all() and (rlj == rlp).all()
-
-
 def test_gather_band_windows_matches_byte_gather(golden_oracle_index):
     """The word-gather band path == the exact byte gather on aligned
     starts (including genome-boundary masking)."""
