@@ -65,10 +65,12 @@ def phase_mono(n_reads):
     cl = FastClassifier(OracleIndex(RefFormatIndex(IDX)),
                         exact_fallback=True)
     print(f"mono: init {time.time()-t0:.0f}s", flush=True)
-    cl.classify_batch(reads[:256])  # warm/compile
+    t0 = time.time()
+    cl.classify_batch(reads, block=4096)  # warm: compiles EVERY shape
+    print(f"mono: warm full pass {time.time()-t0:.0f}s", flush=True)
     cl.stats = dict(n_reads=0, n_fallback=0)
     t0 = time.time()
-    res = cl.classify_batch(reads)
+    res = cl.classify_batch(reads, block=4096)
     dt = time.time() - t0
     tids = [cl.tid_of(r.ref_ID) for r in res]
     out = dict(n=len(reads), rps=len(reads) / dt,
@@ -82,6 +84,14 @@ def phase_mono(n_reads):
 
 def phase_shard(n_reads):
     import jax
+
+    # the baked axon sitecustomize forces jax_platforms="axon,cpu" at
+    # interpreter start, overriding the env var — pin CPU the way
+    # tests/conftest.py does, BEFORE any backend initializes
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
     from desamba_tpu.engine.sharded_fast import load_sharded_fast
     from desamba_tpu.parallel import make_mesh
