@@ -62,6 +62,11 @@ from ..utils import codec
 from ..utils.hashes import hash64_1, hash64_2
 
 _U64 = np.uint64
+
+# streaming chunk sizes (windows per pass). Module-level so tests can
+# shrink them to exercise the multi-chunk paths on small inputs.
+KMER_CHUNK = 1 << 24
+EK_CHUNK = 1 << 24
 _KMER_TOP_SHIFT = _U64(2 * (B_KMER - 1))  # 60
 _KMER_MASK = _U64((1 << (2 * B_KMER)) - 1)
 _KMER_LOW_MASK = _U64((1 << (2 * (B_KMER - 1))) - 1)  # low 60 bits
@@ -212,7 +217,7 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
     for i, (st, ln) in enumerate(zip(cstart, lens)):
         in_run[st : st + ln - B_KMER + 1] = True
     n_valid = int(in_run.sum())
-    CHUNK = 1 << 24
+    CHUNK = KMER_CHUNK
     NB = 256  # bucket = top 8 bits of the 62-bit key
 
     def _chunk_keys(lo, hi):
@@ -580,7 +585,7 @@ def build_index(ref_path_or_records, progress=None) -> BuiltIndex:
 
     # chunked rolling window (bounded RSS: the round-4 builder held the
     # full 8 B/row window array + an 8 B/row validity cumsum)
-    CH = 1 << 24
+    CH = EK_CHUNK
     for lo in range(0, nw, CH):
         hi = min(lo + CH, nw)
         m = hi - lo

@@ -109,3 +109,34 @@ def test_index_matches_reference_binary(tmp_path):
     save_ref_format(idx, str(my_dir))
     diffs = compare_index_dirs(str(ref_dir), str(my_dir))
     assert diffs == [], "\n".join(diffs)
+
+
+def test_build_chunked_paths_match_single_chunk():
+    """The streaming k-mer/exist-filter passes (round-5 bounded-RSS
+    builder) must produce the identical index when the data spans MANY
+    chunks as when it fits one — small test genomes otherwise never
+    exercise the multi-chunk code (chunk-boundary windows, per-bucket
+    cursors, chunked bloom fills)."""
+    import numpy as np
+
+    from desamba_tpu.index import build as B
+    from testdata import make_references
+
+    refs = make_references(seed=31, n_genomes=2, length=30_000)
+    recs = [type("R", (), dict(name=n, seq=s))() for n, s in refs]
+    base = B.build_index(recs)
+    old = (B.KMER_CHUNK, B.EK_CHUNK)
+    try:
+        B.KMER_CHUNK = 4096   # ~15 chunks over 60 kbp
+        B.EK_CHUNK = 4096
+        small = B.build_index(recs)
+    finally:
+        B.KMER_CHUNK, B.EK_CHUNK = old
+    assert np.array_equal(base.bwt_codes, small.bwt_codes)
+    assert np.array_equal(base.sa_uni, small.sa_uni)
+    assert np.array_equal(base.sa_off, small.sa_off)
+    assert np.array_equal(base.hash13, small.hash13)
+    assert np.array_equal(base.refpos_global, small.refpos_global)
+    assert np.array_equal(base.uni_reflist, small.uni_reflist)
+    assert np.array_equal(base.ek0, small.ek0)
+    assert np.array_equal(base.ek1, small.ek1)

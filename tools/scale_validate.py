@@ -111,6 +111,27 @@ def main():
     print(f"disagreements: device-right {d_right}, native-right {n_right}",
           flush=True)
 
+    # committed artifact (VERDICT r4 weak 3: the only 50k numbers lived
+    # in a commit message) — path overridable for per-scale artifacts
+    import json
+
+    art = os.environ.get(
+        "SCALEVAL_ARTIFACT",
+        os.path.join(R, f"SCALEVAL_r05_{oi.L // 1_000_000}M.json"))
+    with open(art, "w") as f:
+        json.dump(dict(
+            idx_dir=idx_dir, L=int(oi.L), n_reads=n_reads,
+            read_len="1000-3000", err=0.10,
+            device_rps=round(n_reads / dt, 1),
+            fallback=round(frac, 4),
+            truth_accuracy_device=round(acc, 4),
+            n_native=n_native,
+            agreement_vs_native=round(agree / n_native, 4),
+            truth_accuracy_native=round(nacc, 4),
+            disagreements_device_right=d_right,
+            disagreements_native_right=n_right), f, indent=1)
+    print(f"artifact -> {art}", flush=True)
+
 
 if __name__ == "__main__":
     main()
