@@ -583,6 +583,14 @@ AMB_MARGIN = 8       # cross-ref score gap below which a read is replayed
                      # (the reference merges chains within +5 of each other,
                      # cly.c:2913-2952, so gaps this small are tie-order
                      # territory the approximate score cannot adjudicate)
+AMB_MARGIN_LARGE = 24  # auto default once the index exceeds AMB_LARGE_L
+                     # rows: bigger communities put more near-homologous
+                     # genomes in range, so borderline votes need a wider
+                     # replay margin. Measured at 412M rows / 376 genomes:
+                     # margin 8 -> 0.9885 vs-native agreement, margin 24 ->
+                     # 0.9905 at the same throughput (fallback 5% -> 9%,
+                     # fully overlapped by the replay worker)
+AMB_LARGE_L = 1 << 27
 AMB_MIN_EXIST = 1    # unclassified reads with >= this many exist-kmer hits
                      # on the STEP_EK probe grid get a replay (the
                      # reference's slow path may still anchor them,
@@ -607,7 +615,10 @@ class FastClassifier:
                  filter_min_length: int = DEFAULT_FILTER_MIN_LENGTH,
                  mesh=None, exact_fallback: bool = True,
                  fallback_threads: int | None = None,
-                 max_width: int = 8192, amb_margin: int = AMB_MARGIN):
+                 max_width: int = 8192, amb_margin: int | None = None):
+        if amb_margin is None:
+            amb_margin = (AMB_MARGIN if oi.L < AMB_LARGE_L
+                          else AMB_MARGIN_LARGE)
         _enable_compile_cache()
         import jax
 

@@ -114,8 +114,17 @@ class ShardedFastClassifier(FastClassifier):
     def __init__(self, ois, mesh, min_score=None, filter_min_length=None,
                  exact_fallback: bool = False,
                  fallback_threads: int | None = None, ref_ids=None,
-                 amb_margin: int = AMB_MARGIN):
+                 amb_margin: int | None = None):
         from ..constants import DEFAULT_FILTER_MIN_LENGTH, DEFAULT_MIN_SCORE
+
+        if amb_margin is None:
+            # scale rule on the TOTAL row count: sharding splits rows but
+            # not the genome neighborhood a read competes against
+            from .fast_engine import AMB_LARGE_L, AMB_MARGIN, AMB_MARGIN_LARGE
+
+            total_l = sum(int(oi.L) for oi in ois)
+            amb_margin = (AMB_MARGIN if total_l < AMB_LARGE_L
+                          else AMB_MARGIN_LARGE)
 
         _enable_compile_cache()
         import jax

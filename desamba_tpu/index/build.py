@@ -32,12 +32,13 @@ in-place sorts — no global argsort, no full-size int64 inverse; all
 persistent id/position arrays are int32 (valid to ~2 Gbp per shard,
 asserted); the refmap derives occurrence runs by binary search instead of
 two full-length int64 maps; the exist-filter windows roll in chunks.
-Measured peak RSS: see the number printed by tools/make_scale_index.py
-per build (round-4's all-in-RAM design measured ~142 B/bp at 100 Mbp;
-this design's worst co-live set is ~45 B/bp, dominated by the merge
-stage) — vs the reference's 16-32-thread C build (idx_sort.c:86-99,
-idx.c:241-306) whose full-RefSeq working set is ~150 GB (idx.c:890).
-Beyond ~2 Gbp shard the build (parallel/shard_index.py).
+Measured peak RSS (tools/make_scale_index.py prints it per build):
+8.8 GB at 100.6 Mbp, 29.2 GB at 428.3 Mbp — ~65 B/bp marginal after
+~1.5 GB of fixed tables, vs the round-4 all-in-RAM design's ~142 B/bp.
+A 1 Gbp monolithic build fits this 125 GB host; the reference's
+16-32-thread C build (idx_sort.c:86-99, idx.c:241-306) quotes a
+full-RefSeq working set of ~150 GB (idx.c:890). Beyond ~2 Gbp per
+shard, shard the build (parallel/shard_index.py).
 """
 from __future__ import annotations
 
