@@ -370,9 +370,13 @@ def test_weak_scaling_pipeline(golden_index_dir):
         json.dump(dict(rps_1proc=round(rps1, 1), rps_2proc=round(rps2, 1),
                        efficiency=round(eff, 3),
                        overhead_ms_per_read=round(ovh_ms, 3),
-                       note="same 4 virtual CPU devices both legs; delta "
-                            "= gloo collectives + dual dispatch, not "
-                            "core oversubscription"), f, indent=1)
+                       note="same 4 virtual CPU devices both legs, so the "
+                            "delta isolates process structure: >1.0 means "
+                            "the second Python dispatcher buys more than "
+                            "the gloo collectives cost (single-process "
+                            "dispatch is the CPU-leg bottleneck); on real "
+                            "ICI hardware dispatch is per-host anyway and "
+                            "the collectives ride ICI"), f, indent=1)
     # gloo + dual-dispatch overhead on a 2-core CPU host; the >=0.8
     # BASELINE target is an ICI-mesh property measured on real hardware
     assert eff > 0.3, eff
