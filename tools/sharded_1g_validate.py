@@ -1,0 +1,121 @@
+"""1 Gbp rung of the scale ladder (round 5): the index that CANNOT be
+monolithic.
+
+At ~1 Gbp the BWT exceeds the fused-LF table's 2^29-row wall
+(ops/fm.py), so the genome-sharded engine is the only device path — which
+is exactly the configuration BASELINE.json's "index sharded across hosts"
+names. This validates it end to end on an 8-virtual-CPU-device
+('data','index') mesh: ShardedFastClassifier over 2 x ~500 Mbp shards,
+exact_fallback on, vs (a) read-name truth tids for all reads and (b) the
+bit-exact host ShardedEngine (per-shard native classify + global merge)
+on a subset.
+
+Usage: python tools/sharded_1g_validate.py [n_reads] [n_native]
+Needs /tmp/desamba_scale1g/{ref.fa,shards2} (tools caller builds them).
+Writes SHARDED_r05_1G.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+R = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, R)
+sys.path.insert(0, os.path.join(R, "tests"))
+
+BASE = "/tmp/desamba_scale1g"
+
+
+def truth_tid(name: str) -> int:
+    return int(name.split("_")[1].split(".")[0])
+
+
+def main():
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    n_native = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    from desamba_tpu.engine.sharded_fast import load_sharded_fast
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.parallel import make_mesh
+    from scale_data import make_reads_vec
+
+    refs = [(r.name, r.seq) for r in read_fastx(os.path.join(BASE, "ref.fa"))]
+    total_bp = sum(len(s) for _, s in refs)
+    reads = make_reads_vec(refs, seed=424242, n_reads=n_reads,
+                           read_len=(1_000, 3_000), err=0.10)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev // 2, n_index=2)
+    t0 = time.time()
+    cl = load_sharded_fast(os.path.join(BASE, "shards2"), mesh=mesh,
+                           exact_fallback=True)
+    print(f"sharded init {time.time()-t0:.0f}s; total {total_bp/1e6:.0f} "
+          f"Mbp over {len(cl.ois)} shards "
+          f"(L = {[int(oi.L) for oi in cl.ois]}), amb_margin "
+          f"{cl.amb_margin}", flush=True)
+    t0 = time.time()
+    cl.classify_batch(reads[:256])
+    print(f"warm (incl. compiles) {time.time()-t0:.0f}s", flush=True)
+    cl.stats = dict(n_reads=0, n_fallback=0)
+    t0 = time.time()
+    res = cl.classify_batch(reads)
+    dt = time.time() - t0
+    tids = [cl.tid_of(r.ref_ID) for r in res]
+    truth = [truth_tid(r[0]) for r in reads]
+    acc = sum(a == t for a, t in zip(tids, truth)) / n_reads
+    frac = cl.stats["n_fallback"] / max(1, cl.stats["n_reads"])
+    print(f"{n_reads} reads in {dt:.1f}s = {n_reads/dt:.1f} reads/s "
+          f"(CPU mesh), fallback {frac:.3f}, truth acc {acc:.4f}",
+          flush=True)
+
+    # bit-exact host sharded engine on a subset
+    from desamba_tpu.parallel.shard_index import ShardedEngine
+
+    t0 = time.time()
+    eng = ShardedEngine(os.path.join(BASE, "shards2"), n_threads=2)
+    sub = reads[:n_native]
+    nres = eng.classify_batch(sub)
+    dtn = time.time() - t0
+
+    def host_tid(rr):
+        prim = next((h for h in rr.hits if h.primary == 1), None)
+        if prim is None:
+            return 0
+        return cl.tid_of(prim.ref_ID)
+
+    ntids = [host_tid(r) for r in nres]
+    agree = sum(a == b for a, b in zip(tids[:n_native], ntids))
+    nacc = sum(a == t for a, t in zip(ntids, truth[:n_native])) / n_native
+    print(f"host sharded engine: {n_native} reads in {dtn:.1f}s; "
+          f"device-vs-host agreement {agree}/{n_native} = "
+          f"{agree/n_native:.4f}; host truth acc {nacc:.4f}", flush=True)
+
+    art = os.path.join(R, "SHARDED_r05_1G.json")
+    with open(art, "w") as f:
+        json.dump(dict(
+            scale_bp=total_bp, n_shards=len(cl.ois),
+            shard_rows=[int(oi.L) for oi in cl.ois],
+            monolithic_possible=False,
+            why="total BWT rows exceed the 2^29 fused-LF wall (ops/fm.py)",
+            n_reads=n_reads, read_len="1000-3000", err=0.10,
+            exact_fallback=True, amb_margin=int(cl.amb_margin),
+            mesh={k: int(v) for k, v in mesh.shape.items()},
+            truth_accuracy_sharded=round(acc, 4),
+            fallback=round(frac, 4),
+            cpu_mesh_rps=round(n_reads / dt, 1),
+            n_native=n_native,
+            agreement_vs_host_sharded=round(agree / n_native, 4),
+            truth_accuracy_host=round(nacc, 4)), f, indent=1)
+    print(f"artifact -> {art}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
